@@ -1,0 +1,162 @@
+"""EWA perspective projection + screen-bounds preprocess.
+
+Re-derivation of the fastgs preprocess kernel
+(fastgs/rasterization/include/kernels_forward.cuh:18-205) as fully vectorized
+JAX over the static gaussian capacity: sigmoid(opacity) culling, cov3d from
+quat/scale, frustum-clamped EWA Jacobian, conic with +0.3 pixel dilation,
+SH->RGB, and conservative tile bounds. All culling is expressed as a `valid`
+mask instead of warp compaction — XLA fuses the whole thing into one
+elementwise pass over [C] gaussians, which is bandwidth-trivial next to the
+blend, so no Pallas kernel is needed here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
+from lichtfeld_studio_tpu.ops.sh import sh_to_color
+
+# Rendering constants (reference rasterization_config.h:12-30)
+DILATION = 0.3
+MIN_ALPHA_THRESHOLD_RCP = 255.0
+MIN_ALPHA_THRESHOLD = 1.0 / MIN_ALPHA_THRESHOLD_RCP
+MAX_FRAGMENT_ALPHA = 0.999
+TRANSMITTANCE_THRESHOLD = 1e-4
+NEAR_PLANE = 0.01
+FAR_PLANE = 1e10
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["depth", "mean2d", "conic", "opacity", "color", "bbox", "n_touched", "valid"],
+    meta_fields=[],
+)
+@dataclass
+class ProjectedSplats:
+    depth: jax.Array  # [C]
+    mean2d: jax.Array  # [C, 2] pixel coords
+    conic: jax.Array  # [C, 3] (a, b, c): quadratic form a*dx^2 + 2b*dx*dy + c*dy^2
+    opacity: jax.Array  # [C] activated (sigmoid)
+    color: jax.Array  # [C, 3] SH-evaluated RGB (unclamped)
+    bbox: jax.Array  # [C, 4] int32 tile bounds (x_min, x_max, y_min, y_max), max exclusive
+    n_touched: jax.Array  # [C] int32 touched-tile upper bound (0 for culled)
+    valid: jax.Array  # [C] bool
+
+
+def project_gaussians(
+    means: jax.Array,  # [C, 3]
+    log_scales: jax.Array,  # [C, 3]
+    quats: jax.Array,  # [C, 4] wxyz unnormalized
+    logit_opacities: jax.Array,  # [C] or [C, 1]
+    sh0: jax.Array,  # [C, 1, 3]
+    shN: jax.Array,  # [C, K-1, 3]
+    active_mask: jax.Array,  # [C] bool (live slots)
+    active_sh_degree: jax.Array,  # [] int32
+    w2c: jax.Array,  # [4, 4]
+    cam_position: jax.Array,  # [3]
+    K: jax.Array,  # [4] (fx, fy, cx, cy)
+    *,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    near: float = NEAR_PLANE,
+    far: float = FAR_PLANE,
+) -> ProjectedSplats:
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+    grid_w = -(-width // tile_size)
+    grid_h = -(-height // tile_size)
+
+    if logit_opacities.ndim == 2:
+        logit_opacities = logit_opacities[:, 0]
+
+    # --- camera transform & z cull (kernels_forward.cuh:58-66) ---
+    # Explicit component sums: full f32 on the VPU (JAX's default matmul
+    # precision would run these tiny contractions at bf16-level accuracy).
+    rot_w2c = w2c[:3, :3]
+    t_w2c = w2c[:3, 3]
+    p_cam = (
+        means[:, 0:1] * rot_w2c[:, 0][None, :]
+        + means[:, 1:2] * rot_w2c[:, 1][None, :]
+        + means[:, 2:3] * rot_w2c[:, 2][None, :]
+        + t_w2c[None, :]
+    )  # [C, 3]
+    depth = p_cam[:, 2]
+    valid = active_mask & (depth >= near) & (depth <= far)
+
+    # --- opacity activation & cull ---
+    opacity = jax.nn.sigmoid(logit_opacities)
+    valid &= opacity >= MIN_ALPHA_THRESHOLD
+
+    # --- cov3d (kernels_forward.cuh:76-105) ---
+    q_norm_sq = jnp.sum(quats * quats, axis=-1)
+    valid &= q_norm_sq >= 1e-8
+    rot = quat_to_rotmat(quats)  # [C, 3, 3]
+    var = jnp.exp(2.0 * log_scales)  # sigma^2
+    m = rot * var[:, None, :]
+    cov3d = jnp.einsum("cik,cjk->cij", m, rot, precision=jax.lax.Precision.HIGHEST)
+
+    # --- normalized image-plane coords, clamped to a 15%-expanded frustum ---
+    safe_depth = jnp.where(jnp.abs(depth) > 1e-12, depth, 1e-12)
+    x = p_cam[:, 0] / safe_depth
+    y = p_cam[:, 1] / safe_depth
+    clip_left = (-0.15 * width - cx) / fx
+    clip_right = (1.15 * width - cx) / fx
+    clip_top = (-0.15 * height - cy) / fy
+    clip_bottom = (1.15 * height - cy) / fy
+    tx = jnp.clip(x, clip_left, clip_right)
+    ty = jnp.clip(y, clip_top, clip_bottom)
+
+    # --- EWA: cov2d = (J W) cov3d (J W)^T with J the projective Jacobian ---
+    j11 = fx / safe_depth
+    j13 = -j11 * tx
+    j22 = fy / safe_depth
+    j23 = -j22 * ty
+    w1, w2, w3 = rot_w2c[0], rot_w2c[1], rot_w2c[2]  # rows, [3]
+    jw1 = j11[:, None] * w1[None, :] + j13[:, None] * w3[None, :]  # [C, 3]
+    jw2 = j22[:, None] * w2[None, :] + j23[:, None] * w3[None, :]
+    jwc1 = jnp.sum(jw1[:, :, None] * cov3d, axis=1)  # [C, 3], full f32
+    jwc2 = jnp.sum(jw2[:, :, None] * cov3d, axis=1)
+    c_xx = jnp.sum(jwc1 * jw1, axis=-1) + DILATION
+    c_xy = jnp.sum(jwc1 * jw2, axis=-1)
+    c_yy = jnp.sum(jwc2 * jw2, axis=-1) + DILATION
+
+    det = c_xx * c_yy - c_xy * c_xy
+    valid &= det >= 1e-8
+    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    conic = jnp.stack([c_yy / safe_det, -c_xy / safe_det, c_xx / safe_det], axis=-1)
+
+    mean2d = jnp.stack([x * fx + cx, y * fy + cy], axis=-1)
+
+    # --- conservative tile bounds (kernels_forward.cuh:160-177) ---
+    power_threshold = jnp.log(jnp.maximum(opacity, MIN_ALPHA_THRESHOLD) * MIN_ALPHA_THRESHOLD_RCP)
+    ptf = jnp.sqrt(jnp.maximum(2.0 * power_threshold, 0.0))
+    extent_x = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_xx, 0.0)) - 0.5, 0.0)
+    extent_y = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_yy, 0.0)) - 0.5, 0.0)
+    ts = float(tile_size)
+    x_min = jnp.clip(jnp.floor((mean2d[:, 0] - extent_x) / ts).astype(jnp.int32), 0, grid_w)
+    x_max = jnp.clip(jnp.ceil((mean2d[:, 0] + extent_x) / ts).astype(jnp.int32), 0, grid_w)
+    y_min = jnp.clip(jnp.floor((mean2d[:, 1] - extent_y) / ts).astype(jnp.int32), 0, grid_h)
+    y_max = jnp.clip(jnp.ceil((mean2d[:, 1] + extent_y) / ts).astype(jnp.int32), 0, grid_h)
+    n_touched = (x_max - x_min) * (y_max - y_min)
+    valid &= n_touched > 0
+    n_touched = jnp.where(valid, n_touched, 0)
+    bbox = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
+
+    # --- SH -> RGB ---
+    color = sh_to_color(sh0, shN, means, cam_position, active_sh_degree)
+
+    return ProjectedSplats(
+        depth=depth,
+        mean2d=mean2d,
+        conic=conic,
+        opacity=opacity,
+        color=color,
+        bbox=bbox,
+        n_touched=n_touched,
+        valid=valid,
+    )

@@ -1,0 +1,58 @@
+"""Fused SSIM — separable 11-tap Gaussian windows, "valid" padding.
+
+Reference: src/training/kernels/ssim.cu (fwd emits the ssim map + partials
+for a hand-written backward). On TPU the whole thing is two depthwise
+convolutions that XLA fuses and differentiates, so no custom backward is
+needed; the constants match the reference's constant-memory window
+(ssim.cu:16-27, gaussian sigma 1.5, window 11) and C1/C2 = 0.01^2 / 0.03^2
+(metrics.hpp:49-50). "valid" mode averages only fully-covered pixels, exactly
+like fused_ssim(..., "valid") used by the trainer (trainer.cpp:125)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_WINDOW_SIZE = 11
+_SIGMA = 1.5
+C1 = 0.01**2
+C2 = 0.03**2
+
+
+def _gaussian_window() -> jnp.ndarray:
+    x = jnp.arange(_WINDOW_SIZE, dtype=jnp.float32) - (_WINDOW_SIZE // 2)
+    g = jnp.exp(-(x**2) / (2.0 * _SIGMA**2))
+    return g / jnp.sum(g)
+
+
+def _blur_valid(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 11x11 Gaussian blur, valid padding. img: [H, W, C]."""
+    g = _gaussian_window()
+    x = img.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
+    kh = g.reshape(1, 1, _WINDOW_SIZE, 1)
+    kw = g.reshape(1, 1, 1, _WINDOW_SIZE)
+    x = lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return x[:, 0].transpose(1, 2, 0)  # [H-10, W-10, C]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Mean SSIM over valid pixels. Inputs [H, W, C] in [0, 1]. Differentiable."""
+    mu1 = _blur_valid(img1)
+    mu2 = _blur_valid(img2)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur_valid(img1 * img1) - mu1_sq
+    sigma2_sq = _blur_valid(img2 * img2) - mu2_sq
+    sigma12 = _blur_valid(img1 * img2) - mu1_mu2
+    ssim_map = ((2.0 * mu1_mu2 + C1) * (2.0 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Reference metrics.cpp PSNR: 10 log10(range^2 / mse)."""
+    mse = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))

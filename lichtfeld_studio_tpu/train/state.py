@@ -1,0 +1,159 @@
+"""Training state pytree + the single jitted train step.
+
+This is the TPU-native reshaping of Trainer::train_step
+(reference src/training/trainer.cpp:579-858): one compiled function
+containing render -> loss -> backward -> strategy post_backward -> Adam step
+-> LR schedule. The reference runs five backward passes and several host
+syncs per step (loss.item, mask counts); here the whole step is one XLA
+program with zero host round-trips — the loss scalar is fetched
+asynchronously by the host loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lichtfeld_studio_tpu.core.camera import CameraParams
+from lichtfeld_studio_tpu.core.splat_data import SplatData
+from lichtfeld_studio_tpu.ops.adam import AdamState, adam_step, init_adam, shn_skip_mask
+from lichtfeld_studio_tpu.ops.losses import opacity_reg_loss, photometric_loss, scale_reg_loss
+from lichtfeld_studio_tpu.ops.mcmc_ops import make_binoms
+from lichtfeld_studio_tpu.ops.rasterize import rasterize
+from lichtfeld_studio_tpu.train.strategies import mcmc as mcmc_strategy
+from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Static (compile-time) training configuration."""
+
+    iterations: int = 30_000
+    lambda_dssim: float = 0.2
+    scale_reg: float = 0.01
+    opacity_reg: float = 0.01
+    raster_mode: str = "tiles"  # oracle | tiles | pallas
+    tile_size: int = 16
+    instance_cap: int = 2**20
+    k_max: int = 1024
+    strategy: str = "mcmc"
+    mcmc: MCMCConfig = MCMCConfig()
+    lr_gamma: float = 0.01 ** (1.0 / 30_000)  # ExponentialLR (mcmc.cpp:497)
+    # ADC (default strategy) parameters — used when strategy == "default"
+    grad_threshold: float = 2e-4
+    prune_opacity: float = 0.005
+    grow_scale3d: float = 0.01
+    grow_scale2d: float = 0.05
+    prune_scale3d: float = 0.1
+    prune_scale2d: float = 0.15
+    reset_every: int = 3_000
+    pause_refine_after_reset: int = 0
+    revised_opacity: bool = False
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["splats", "adam", "key", "iteration", "binoms"],
+    meta_fields=[],
+)
+@dataclass
+class TrainState:
+    splats: SplatData
+    adam: AdamState
+    key: jax.Array
+    iteration: jax.Array  # [] int32, 0-based count of completed steps
+    binoms: jax.Array  # [51, 51] MCMC binomial table
+
+
+def make_lrs(opt_means_lr: float, shs_lr: float, scaling_lr: float,
+             rotation_lr: float, opacity_lr: float, scene_scale: float) -> dict[str, float]:
+    """Per-group LRs (reference mcmc.cpp:487-492): means lr is scaled by the
+    scene scale; shN uses shs_lr / 20."""
+    return {
+        "means": opt_means_lr * scene_scale,
+        "sh0": shs_lr,
+        "shN": shs_lr / 20.0,
+        "scaling": scaling_lr,
+        "rotation": rotation_lr,
+        "opacity": opacity_lr,
+    }
+
+
+def init_train_state(splats: SplatData, lrs: dict[str, float], seed: int = 0) -> TrainState:
+    return TrainState(
+        splats=splats,
+        adam=init_adam(splats.trainable_dict(), lrs),
+        key=jax.random.PRNGKey(seed),
+        iteration=jnp.asarray(0, jnp.int32),
+        binoms=make_binoms(),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_step(
+    state: TrainState,
+    camera: CameraParams,
+    gt_image: jax.Array,  # [H, W, 3]
+    bg_color: jax.Array,  # [3]
+    cfg: TrainConfig,
+) -> tuple[TrainState, dict]:
+    iteration = state.iteration + 1  # 1-based, like the reference loop
+
+    def loss_fn(params):
+        s = state.splats.replace_trainable(params)
+        out = rasterize(
+            s,
+            camera,
+            bg_color,
+            mode=cfg.raster_mode,
+            tile_size=cfg.tile_size,
+            instance_cap=cfg.instance_cap,
+            k_max=cfg.k_max,
+        )
+        loss = photometric_loss(out.image, gt_image, cfg.lambda_dssim)
+        loss = loss + scale_reg_loss(s, cfg.scale_reg)
+        loss = loss + opacity_reg_loss(s, cfg.opacity_reg)
+        return loss, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.splats.trainable_dict()
+    )
+
+    # --- strategy post_backward BEFORE the optimizer step (trainer.cpp:745-758) ---
+    key, sub = jax.random.split(state.key)
+    splats = state.splats
+    adam = state.adam
+    if cfg.strategy == "mcmc":
+        splats, adam = mcmc_strategy.post_backward(
+            sub, iteration, splats, adam, state.binoms, cfg.mcmc
+        )
+    elif cfg.strategy == "default":
+        from lichtfeld_studio_tpu.train.strategies import adc
+
+        splats, adam = adc.post_backward(sub, iteration, splats, adam, grads, out, cfg)
+    else:
+        raise ValueError(f"unknown strategy {cfg.strategy}")
+
+    # --- Adam step on the (possibly relocated) params with this step's grads ---
+    params, adam = adam_step(
+        splats.trainable_dict(), grads, adam, skip=shn_skip_mask(iteration)
+    )
+    splats = splats.replace_trainable(params)
+
+    # --- ExponentialLR on the means group only (mcmc.cpp:497-498: index 0) ---
+    adam = replace(
+        adam, lr={**adam.lr, "means": adam.lr["means"] * jnp.float32(cfg.lr_gamma)}
+    )
+
+    new_state = TrainState(
+        splats=splats, adam=adam, key=key, iteration=iteration, binoms=state.binoms
+    )
+    metrics = {
+        "loss": loss,
+        "n_active": splats.n_active,
+        "n_instances": out.n_instances,
+    }
+    return new_state, metrics

@@ -1,0 +1,231 @@
+"""MCMC densification strategy — functional, static-capacity.
+
+Reference: src/training/strategies/mcmc.cpp. The reference mutates tensor
+sizes (concat) and rebuilds optimizer state on every refine; here capacity is
+fixed at `max_cap` and growth is "raise n_active and scatter into the fresh
+slots", so the entire strategy is jit-compiled with zero recompiles:
+
+* relocate_gs (mcmc.cpp:112-190): dead = opacity<=min or degenerate quat;
+  every dead slot samples a source from the alive opacity distribution
+  (inverse-CDF sampling — the reference's own >2^24 fallback algorithm, and
+  the only shape-static formulation; torch::multinomial is O(N^2) memory as
+  a Gumbel broadcast);
+* add_new_gs (mcmc.cpp:192-347): grow 5% toward max_cap, new slots sample
+  sources the same way; sources get relocation-split opacity/scale, new/dead
+  slots copy the updated source params;
+* optimizer-state semantics preserved: relocation zeroes moments at the
+  sampled sources (mcmc.cpp:86-110); add_new keeps source moments and new
+  slots start at zero (mcmc.cpp:300-320 — zeros-concat == our dead slots'
+  already-zero moments);
+* inject_noise (mcmc.cpp:349-367) every step with the *current* means lr.
+
+All branches are lax.cond so refine steps cost nothing on non-refine steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lichtfeld_studio_tpu.core.splat_data import SplatData
+from lichtfeld_studio_tpu.ops.adam import AdamState
+from lichtfeld_studio_tpu.ops.mcmc_ops import add_noise, make_binoms, relocation
+
+NOISE_LR = 5e5  # reference mcmc.hpp:79
+
+
+@dataclass(frozen=True)
+class MCMCConfig:
+    max_cap: int = 1_000_000
+    min_opacity: float = 0.005
+    start_refine: int = 500
+    stop_refine: int = 25_000
+    refine_every: int = 100
+    sh_degree_interval: int = 1_000
+    grow_factor: float = 1.05
+
+
+def _sample_multinomial(key: jax.Array, probs: jax.Array, num: int) -> jax.Array:
+    """`num` samples (with replacement) ~ probs via inverse-CDF binary search.
+    probs need not be normalized; zero-prob entries are never chosen."""
+    cdf = jnp.cumsum(probs)
+    total = cdf[-1]
+    u = jax.random.uniform(key, (num,)) * total
+    idx = jnp.searchsorted(cdf, u, side="right")
+    return jnp.clip(idx, 0, probs.shape[0] - 1).astype(jnp.int32)
+
+
+def _apply_relocation(
+    splats: SplatData,
+    adam: AdamState,
+    target_mask: jax.Array,  # [C] bool — slots to overwrite (dead or new)
+    src: jax.Array,  # [C] int32 — source per slot (only used where target)
+    binoms: jax.Array,
+    min_opacity: float,
+    *,
+    zero_source_moments: bool,
+) -> tuple[SplatData, AdamState]:
+    """Shared core of relocate/add_new: split each source `ratio` ways,
+    write the updated opacity/scale back to the source, copy all params from
+    source to target slots."""
+    c = splats.capacity
+    opac = jax.nn.sigmoid(splats.opacity[:, 0])
+
+    # ratio per target slot = 1 + (#targets sampling the same source)
+    occ = jax.ops.segment_sum(target_mask.astype(jnp.int32), src, num_segments=c)
+    ratios = 1 + occ[src]  # [C]
+
+    new_op, new_scales = relocation(
+        opac[src], jnp.exp(splats.scaling[src]), ratios, binoms
+    )
+    new_op = jnp.clip(new_op, min_opacity, 1.0 - 1e-7)
+    new_logit = jnp.log(new_op) - jnp.log1p(-new_op)
+    new_log_scales = jnp.log(jnp.maximum(new_scales, 1e-20))
+
+    # 1) update the sources in place (reference order: sources first)
+    def scatter_src(arr, upd):
+        safe_src = jnp.where(target_mask, src, c)  # out-of-range drops
+        return arr.at[safe_src].set(upd, mode="drop")
+
+    opacity1 = scatter_src(splats.opacity, new_logit[:, None])
+    scaling1 = scatter_src(splats.scaling, new_log_scales)
+
+    # 2) copy updated source params into target slots
+    def copy_to_targets(arr):
+        return jnp.where(
+            target_mask.reshape((c,) + (1,) * (arr.ndim - 1)), arr[src], arr
+        )
+
+    new_splats = dataclasses.replace(
+        splats,
+        means=copy_to_targets(splats.means),
+        sh0=copy_to_targets(splats.sh0),
+        shN=copy_to_targets(splats.shN),
+        rotation=copy_to_targets(splats.rotation),
+        opacity=copy_to_targets(opacity1),
+        scaling=copy_to_targets(scaling1),
+    )
+
+    if zero_source_moments:
+        # reference zeroes exp_avg/exp_avg_sq at sampled sources (mcmc.cpp:86-110)
+        def zero_src(tree):
+            safe_src = jnp.where(target_mask, src, c)
+
+            def z(arr):
+                upd = jnp.zeros((c,) + arr.shape[1:], arr.dtype)
+                return arr.at[safe_src].set(upd, mode="drop")
+
+            return jax.tree.map(z, tree)
+
+        adam = AdamState(
+            exp_avg=zero_src(adam.exp_avg),
+            exp_avg_sq=zero_src(adam.exp_avg_sq),
+            step_count=adam.step_count,
+            lr=adam.lr,
+        )
+    return new_splats, adam
+
+
+def relocate_gs(
+    key: jax.Array,
+    splats: SplatData,
+    adam: AdamState,
+    binoms: jax.Array,
+    cfg: MCMCConfig,
+) -> tuple[SplatData, AdamState]:
+    c = splats.capacity
+    active = splats.active_mask()
+    opac = jax.nn.sigmoid(splats.opacity[:, 0])
+    qnorm = jnp.sum(splats.rotation**2, axis=-1)
+    dead = active & ((opac <= cfg.min_opacity) | (qnorm < 1e-8))
+    alive = active & ~dead
+
+    probs = jnp.where(alive, opac, 0.0)
+    src = _sample_multinomial(key, probs, c)  # one candidate source per slot
+    has_alive = jnp.any(alive)
+    target = dead & has_alive
+    return _apply_relocation(
+        splats, adam, target, src, binoms, cfg.min_opacity, zero_source_moments=True
+    )
+
+
+def add_new_gs(
+    key: jax.Array,
+    splats: SplatData,
+    adam: AdamState,
+    binoms: jax.Array,
+    cfg: MCMCConfig,
+) -> tuple[SplatData, AdamState]:
+    c = splats.capacity
+    n = splats.n_active
+    n_target = jnp.minimum(
+        jnp.asarray(cfg.max_cap, jnp.int32),
+        (cfg.grow_factor * n.astype(jnp.float32)).astype(jnp.int32),
+    )
+    idx = jnp.arange(c, dtype=jnp.int32)
+    new_mask = (idx >= n) & (idx < n_target)
+
+    active = splats.active_mask()
+    opac = jax.nn.sigmoid(splats.opacity[:, 0])
+    probs = jnp.where(active, opac, 0.0)
+    src = _sample_multinomial(key, probs, c)
+
+    splats, adam = _apply_relocation(
+        splats, adam, new_mask, src, binoms, cfg.min_opacity, zero_source_moments=False
+    )
+    splats = dataclasses.replace(splats, n_active=n_target)
+    return splats, adam
+
+
+def is_refining(iteration: jax.Array, cfg: MCMCConfig) -> jax.Array:
+    return (
+        (iteration < cfg.stop_refine)
+        & (iteration > cfg.start_refine)
+        & (iteration % cfg.refine_every == 0)
+    )
+
+
+def post_backward(
+    key: jax.Array,
+    iteration: jax.Array,  # [] int32, 1-based
+    splats: SplatData,
+    adam: AdamState,
+    binoms: jax.Array,
+    cfg: MCMCConfig,
+) -> tuple[SplatData, AdamState]:
+    """SH schedule + refine + noise (reference mcmc.cpp:369-393)."""
+    splats = jax.lax.cond(
+        iteration % cfg.sh_degree_interval == 0,
+        lambda s: s.increment_sh_degree(),
+        lambda s: s,
+        splats,
+    )
+
+    k_rel, k_add, k_noise = jax.random.split(key, 3)
+
+    def do_refine(operand):
+        s, a = operand
+        s, a = relocate_gs(k_rel, s, a, binoms, cfg)
+        s, a = add_new_gs(k_add, s, a, binoms, cfg)
+        return s, a
+
+    splats, adam = jax.lax.cond(
+        is_refining(iteration, cfg), do_refine, lambda o: o, (splats, adam)
+    )
+
+    current_lr = adam.lr["means"] * NOISE_LR
+    new_means = add_noise(
+        splats.opacity,
+        splats.scaling,
+        splats.rotation,
+        splats.means,
+        splats.active_mask(),
+        k_noise,
+        current_lr,
+    )
+    splats = dataclasses.replace(splats, means=new_means)
+    return splats, adam
