@@ -1,0 +1,479 @@
+"""Pallas TPU tile-blend kernel (forward + custom VJP backward).
+
+TPU re-derivation of blend_cu / blend_backward_cu
+(fastgs/rasterization/include/kernels_forward.cuh:356-461,
+kernels_backward.cuh:240+). The CUDA kernels use one 256-thread block per
+tile with shared-memory batching, warp ballots and atomic gradient
+accumulation. The TPU formulation replaces all of that:
+
+* one grid program per 16x16 tile; the tile's depth-sorted instance range is
+  streamed from HBM in CHUNK-instance slices (double-buffered DMA);
+* the sequential front-to-back transmittance recurrence becomes a prefix sum
+  of log(1-alpha) along the instance axis (unrolled log-step shifts on the
+  VPU), carried across chunks — the same trick as blockwise attention's
+  running state, and exactly the reference's 32-instance bucket checkpoints,
+  just implicit;
+* per-chunk color accumulation is a [P, CHUNK] x [CHUNK, C] matmul on the
+  MXU;
+* early termination: the chunk loop is a while_loop that stops when every
+  pixel's transmittance is below 1e-4 (reference done-flag semantics);
+* backward: no atomics — the kernel replays chunks front-to-back (recomputing
+  alpha, like the reference replays from bucket checkpoints) and writes
+  per-instance gradients to the *sorted instance buffer*, which XLA
+  scatter-adds back to gaussians through the gather's transpose.
+
+Packed layout (feature-major so instances ride the 128-wide lane axis):
+  feat [16, I]: rows 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
+                5 opacity, 6-7 pad, 8-11 color channels (rgb + optional depth),
+                12-15 pad.
+  out  [T, 8, P]: rows 0-3 composited channels, row 4 transmittance T_final.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lichtfeld_studio_tpu.ops.projection import (
+    MAX_FRAGMENT_ALPHA,
+    MIN_ALPHA_THRESHOLD,
+    TRANSMITTANCE_THRESHOLD,
+)
+
+CHUNK = 256  # instances per streamed slice
+FEAT_ROWS = 16
+OUT_ROWS = 8
+
+
+def _pixel_centers(tile_idx, grid_w: int, tile_size: int, n_pix: int):
+    """Pixel-center coords for the tile's flattened pixels (row-major)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
+    tile_x = (tile_idx % grid_w) * tile_size
+    tile_y = (tile_idx // grid_w) * tile_size
+    pxc = (tile_x + p % tile_size).astype(jnp.float32) + 0.5
+    pyc = (tile_y + p // tile_size).astype(jnp.float32) + 0.5
+    return pxc, pyc  # [1, n_pix] each
+
+
+def _masked_alpha(feat_s, pxc, pyc):
+    """alpha [CHUNK, P] with the reference skip masks; also returns the
+    per-instance row validity pieces needed by backward."""
+    mx = feat_s[0, :][:, None]  # [CHUNK, 1]
+    my = feat_s[1, :][:, None]
+    ca = feat_s[2, :][:, None]
+    cb = feat_s[3, :][:, None]
+    cc = feat_s[4, :][:, None]
+    op = feat_s[5, :][:, None]
+    dx = mx - pxc  # [CHUNK, P]
+    dy = my - pyc
+    sigma2 = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    g = jnp.exp(-jnp.maximum(sigma2, 0.0))
+    raw = op * g
+    alpha = jnp.minimum(raw, MAX_FRAGMENT_ALPHA)
+    keep = (sigma2 >= 0.0) & (alpha >= MIN_ALPHA_THRESHOLD)
+    return jnp.where(keep, alpha, 0.0), (dx, dy, g, raw, keep)
+
+
+def _prefix_sum_rows(x):
+    """Inclusive prefix sum along axis 0 (instances) via unrolled log-step
+    shifts — O(log CHUNK) VPU passes, no MXU."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        shifted = jnp.pad(x, ((shift, 0), (0, 0)))[:n]
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _forward_kernel(
+    tile_start_ref,
+    tile_count_ref,
+    feat_hbm,  # [16, I+pad] ANY/HBM
+    out_ref,  # [1, 8, P] VMEM
+    feat_s,  # scratch [2, 16, CHUNK] VMEM
+    sem,  # DMA semaphores (2,)
+    *,
+    grid_w: int,
+    tile_size: int,
+):
+    n_pix = tile_size * tile_size
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    n_chunks = pl.cdiv(count, CHUNK)
+    pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            feat_s.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(carry):
+        ci, t_carry, _ = carry
+        return (ci < n_chunks) & (jnp.max(t_carry) >= TRANSMITTANCE_THRESHOLD)
+
+    def body(carry):
+        ci, t_carry, acc = carry  # t_carry [1, P], acc [4, P]
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(slot, ci).wait()
+        f = feat_s[slot]  # [16, CHUNK]
+
+        alpha, _ = _masked_alpha(f, pxc, pyc)  # [CHUNK, P]
+        in_range = (
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) < count - ci * CHUNK
+        )
+        alpha = jnp.where(in_range, alpha, 0.0)
+
+        log_om = jnp.log1p(-alpha)
+        prefix_incl = _prefix_sum_rows(log_om)  # [CHUNK, P]
+        p_incl = t_carry * jnp.exp(prefix_incl)
+        counted = p_incl >= TRANSMITTANCE_THRESHOLD
+        t_before = t_carry * jnp.exp(prefix_incl - log_om)
+        w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
+
+        colors = jnp.maximum(f[8:12, :], 0.0)  # [4, CHUNK], fetch-time clamp
+        acc = acc + jax.lax.dot_general(
+            colors,
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4, P]
+
+        t_new = jnp.min(
+            jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
+            axis=0,
+            keepdims=True,
+        )
+        return ci + 1, t_new, acc
+
+    _, t_final, acc = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.ones((1, n_pix), jnp.float32),
+            jnp.zeros((4, n_pix), jnp.float32),
+        ),
+    )
+    out_ref[0, 0:4, :] = acc
+    out_ref[0, 4, :] = t_final[0]
+    out_ref[0, 5:8, :] = jnp.zeros((3, n_pix), jnp.float32)
+
+
+def _backward_kernel(
+    tile_start_ref,
+    tile_count_ref,
+    feat_hbm,  # [16, I+pad] ANY
+    gout_ref,  # [1, 8, P] VMEM — cotangents (rows 0-3 channels, row 4 T_final)
+    tfin_ref,  # [1, 1, P] VMEM — forward T_final
+    dfeat_hbm,  # out [16, I+pad] ANY
+    feat_s,  # scratch [2, 16, CHUNK]
+    dfeat_s,  # scratch [16, CHUNK]
+    sem,  # (2,) DMA semaphores
+    outsem,  # (1,) DMA semaphore for writeback
+    *,
+    grid_w: int,
+    tile_size: int,
+):
+    n_pix = tile_size * tile_size
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    n_chunks = pl.cdiv(count, CHUNK)
+    pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
+
+    g_img = gout_ref[0, 0:4, :]  # [4, P]
+    g_tfin = gout_ref[0, 4, :][None, :]  # [1, P]
+    t_final = tfin_ref[0, 0, :][None, :]  # [1, P]
+
+    def dma_in(slot, ci):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            feat_s.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    # CG_final[p] = sum_j w_j * (c_j . g[:,p]) — computed incrementally:
+    # r_i = CG_final - cumsum_incl(w * cg) is the "remainder color dot grad".
+    # We don't know CG_final until the end of the replay, but
+    # CG_final - A_i = sum_{j>i} w_j cg_j, and termination zeroes the tail, so
+    # we instead accumulate A_i forward and use the identity
+    # sum_ch C_final g = A_last; the remainder for instance i inside chunk ci
+    # is (A_last - A_i). Two-pass within the kernel would need a second
+    # replay; instead we compute A_last on the fly: the forward pass already
+    # gives C_final implicitly, but to stay single-pass we use
+    # r_i = (A_total - A_i) where A_total = CG_final reconstructed from the
+    # *forward output cotangent contraction*: the caller passes
+    # sum_ch C_final[ch,p] g[ch,p] precomputed in gout row 5.
+    cg_final = gout_ref[0, 5, :][None, :]  # [1, P]
+
+    def cond(carry):
+        ci, t_carry, _ = carry
+        return (ci < n_chunks) & (jnp.max(t_carry) >= TRANSMITTANCE_THRESHOLD)
+
+    def body(carry):
+        ci, t_carry, a_run = carry  # a_run [1, P]: cumulative sum w*cg so far
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma_in((ci + 1) % 2, ci + 1).start()
+
+        dma_in(slot, ci).wait()
+        f = feat_s[slot]
+
+        alpha, (dx, dy, g, raw, keep) = _masked_alpha(f, pxc, pyc)
+        in_range_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) < count - ci * CHUNK
+        )
+        alpha = jnp.where(in_range_col, alpha, 0.0)
+
+        log_om = jnp.log1p(-alpha)
+        prefix_incl = _prefix_sum_rows(log_om)
+        p_incl = t_carry * jnp.exp(prefix_incl)
+        counted = p_incl >= TRANSMITTANCE_THRESHOLD
+        t_before = t_carry * jnp.exp(prefix_incl - log_om)
+        w = jnp.where(counted, t_before * alpha, 0.0)
+
+        colors = jnp.maximum(f[8:12, :], 0.0)  # [4, CHUNK]
+
+        # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p]
+        dcolor = jax.lax.dot_general(
+            g_img, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4, CHUNK]
+        # clamp max(c,0): zero grad where c < 0
+        dcolor = jnp.where(f[8:12, :] > 0.0, dcolor, 0.0)
+
+        # cg[i, p] = c_i . g_img[:, p]
+        cg = jax.lax.dot_general(
+            colors, g_img, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CHUNK, P]
+
+        wcg = w * cg
+        a_incl = a_run + _prefix_sum_rows(wcg)  # [CHUNK, P] inclusive A_i
+        remainder = cg_final - a_incl  # sum_{j>i} w_j cg_j
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = jnp.where(
+            counted,
+            t_before * cg - remainder / one_m - g_tfin * t_final / one_m,
+            0.0,
+        )  # [CHUNK, P]; T_final = prod(1-a): dT/da_i = -T/(1-a_i)
+
+        # chain into geometry (zero where clamped at 0.999 or skipped)
+        live = keep & (raw < MAX_FRAGMENT_ALPHA) & counted & in_range_col
+        dalpha = jnp.where(live, dalpha, 0.0)
+        d_op_px = dalpha * g  # da/dop = G
+        d_sig = dalpha * (-alpha)  # da/dsigma2 = -op*G = -alpha (pre-clamp)
+        ca = f[2, :][:, None]
+        cb = f[3, :][:, None]
+        cc = f[4, :][:, None]
+
+        def rowsum(x):  # [CHUNK, P] -> [CHUNK]
+            return jnp.sum(x, axis=1)
+
+        d_mx = rowsum(d_sig * (ca * dx + cb * dy))
+        d_my = rowsum(d_sig * (cc * dy + cb * dx))
+        d_ca = rowsum(d_sig * 0.5 * dx * dx)
+        d_cb = rowsum(d_sig * dx * dy)
+        d_cc = rowsum(d_sig * 0.5 * dy * dy)
+        d_op = rowsum(d_op_px)
+
+        zeros = jnp.zeros((CHUNK,), jnp.float32)
+        dfeat_s[0:8, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op, zeros, zeros])
+        dfeat_s[8:12, :] = dcolor
+        dfeat_s[12:16, :] = jnp.zeros((4, CHUNK), jnp.float32)
+
+        copy_out = pltpu.make_async_copy(
+            dfeat_s,
+            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            outsem.at[0],
+        )
+        copy_out.start()
+        copy_out.wait()
+
+        t_new = jnp.min(
+            jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
+            axis=0,
+            keepdims=True,
+        )
+        a_new = a_run + jnp.sum(wcg, axis=0, keepdims=True)
+        return ci + 1, t_new, a_new
+
+    ci_end, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.ones((1, n_pix), jnp.float32),
+            jnp.zeros((1, n_pix), jnp.float32),
+        ),
+    )
+
+    # Zero-fill gradient chunks skipped by early termination (the output HBM
+    # buffer is uninitialized memory otherwise).
+    def zbody(ci):
+        dfeat_s[:, :] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+        copy_out = pltpu.make_async_copy(
+            dfeat_s,
+            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            outsem.at[0],
+        )
+        copy_out.start()
+        copy_out.wait()
+        return ci + 1
+
+    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, ci_end)
+
+
+def _pad_feat(feat: jax.Array) -> jax.Array:
+    """Pad the instance axis so chunked DMA never reads out of bounds."""
+    i = feat.shape[1]
+    pad = (-i) % CHUNK + CHUNK
+    return jnp.pad(feat, ((0, 0), (0, pad)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blend_core(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
+    return _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
+
+
+def _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
+    num_tiles = grid_w * grid_h
+    n_pix = tile_size * tile_size
+    feat_p = _pad_feat(feat)
+    kernel = functools.partial(_forward_kernel, grid_w=grid_w, tile_size=tile_size)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, OUT_ROWS, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, n_pix), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(tile_start, tile_count, feat_p)
+    return out
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (CPU tests/CI — an improvement over the
+    reference, whose kernel tests skip without CUDA)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _blend_core_fwd(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
+    out = _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
+    return out, (feat, tile_start, tile_count, out)
+
+
+def _blend_core_bwd(grid_w, grid_h, tile_size, res, g_out):
+    feat, tile_start, tile_count, out = res
+    num_tiles = grid_w * grid_h
+    n_pix = tile_size * tile_size
+    feat_p = _pad_feat(feat)
+
+    # row 5 of the cotangent carries CG_final = sum_ch C_final[ch,p]*g[ch,p]
+    cg_final = jnp.sum(out[:, 0:4, :] * g_out[:, 0:4, :], axis=1, keepdims=True)
+    g_aug = jnp.concatenate(
+        [g_out[:, 0:5, :], cg_final, jnp.zeros_like(g_out[:, 6:8, :])], axis=1
+    )
+    t_final = out[:, 4:5, :]
+
+    kernel = functools.partial(_backward_kernel, grid_w=grid_w, tile_size=tile_size)
+    dfeat_p = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # feat
+                pl.BlockSpec(
+                    (1, OUT_ROWS, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                ),  # g_aug
+                pl.BlockSpec(
+                    (1, 1, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                ),  # t_final
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(feat_p.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=_interpret(),
+    )(tile_start, tile_count, feat_p, g_aug, t_final)
+    # NOTE: tiles can share instances only through disjoint [start, end)
+    # ranges (each instance belongs to exactly one tile), so per-tile
+    # writebacks never collide.
+    dfeat = dfeat_p[:, : feat.shape[1]]
+    return (dfeat, None, None)
+
+
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+
+
+def blend_pallas(
+    geom: jax.Array,  # [I, 8] sorted instance features
+    color: jax.Array,  # [I, C<=4]
+    tile_start: jax.Array,  # [T]
+    tile_count: jax.Array,  # [T]
+    *,
+    grid_w: int,
+    grid_h: int,
+    tile_size: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
+    i = geom.shape[0]
+    n_ch = color.shape[1]
+    color4 = jnp.pad(color, ((0, 0), (0, 4 - n_ch))) if n_ch < 4 else color
+    feat = jnp.concatenate([geom.T, color4.T, jnp.zeros((4, i), geom.dtype)], axis=0)
+
+    out = _blend_core(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
+    ts = tile_size
+    n_pix = ts * ts
+    chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)
+    image = chans.transpose(0, 3, 1, 4, 2).reshape(grid_h * ts, grid_w * ts, 4)[..., :n_ch]
+    t_final = out[:, 4, :].reshape(grid_h, grid_w, ts, ts)
+    alpha = 1.0 - t_final.transpose(0, 2, 1, 3).reshape(grid_h * ts, grid_w * ts)
+    return image, alpha

@@ -30,6 +30,7 @@ from lichtfeld_studio_tpu.ops.projection import project_gaussians
 from lichtfeld_studio_tpu.ops.tiles import (
     build_tile_assignment,
     gather_instance_features,
+    pad_tile_ranges,
 )
 
 
@@ -95,11 +96,16 @@ def rasterize(
         assignment = build_tile_assignment(
             proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap
         )
+        if mode == "pallas":
+            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK
+
+            assignment = pad_tile_ranges(assignment, CHUNK)
         geom, color = gather_instance_features(proj, assignment)
         if with_depth:
-            color = jnp.concatenate(
-                [color, proj.depth[assignment.gaussian_idx][:, None]], axis=-1
+            inst_depth = jnp.where(
+                assignment.instance_valid, proj.depth[assignment.gaussian_idx], 0.0
             )
+            color = jnp.concatenate([color, inst_depth[:, None]], axis=-1)
         if mode == "tiles":
             image4, alpha = blend_tiles(
                 geom,

@@ -109,6 +109,39 @@ def build_tile_assignment(
     )
 
 
+def pad_tile_ranges(assignment: TileAssignment, chunk: int) -> TileAssignment:
+    """Re-layout the sorted instance buffer so every tile's range starts at a
+    multiple of `chunk` (slack slots are invalid).
+
+    This is what lets the Pallas backward kernel stream whole-chunk DMA
+    writebacks without ever touching another tile's gradients, and makes
+    every forward DMA aligned. The returned buffer has static capacity
+    I + num_tiles * chunk (worst-case slack).
+    """
+    start, count = assignment.tile_start, assignment.tile_count
+    i_cap = assignment.gaussian_idx.shape[0]
+    num_tiles = start.shape[0]
+    padded_counts = -(-count // chunk) * chunk  # [T]
+    new_start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+    i_pad = i_cap + num_tiles * chunk  # static worst case
+
+    slot = jnp.arange(i_pad, dtype=jnp.int32)
+    t = jnp.searchsorted(new_start, slot, side="right").astype(jnp.int32) - 1
+    t = jnp.clip(t, 0, num_tiles - 1)
+    local = slot - new_start[t]
+    valid = (local < count[t]) & (local < padded_counts[t])
+    src = jnp.clip(start[t] + local, 0, i_cap - 1)
+
+    return TileAssignment(
+        gaussian_idx=jnp.where(valid, assignment.gaussian_idx[src], 0),
+        tile_id=jnp.where(valid, assignment.tile_id[src], num_tiles),
+        tile_start=new_start,
+        tile_count=count,
+        n_instances=assignment.n_instances,
+        instance_valid=valid & assignment.instance_valid[src],
+    )
+
+
 def gather_instance_features(
     proj: ProjectedSplats, assignment: TileAssignment
 ) -> tuple[jax.Array, jax.Array]:
@@ -118,17 +151,20 @@ def gather_instance_features(
       geom = (mean_x, mean_y, conic_a, conic_b, conic_c, opacity, 0, 0)
     padded to 8 lanes for clean VMEM tiling. The gather is differentiable —
     its transpose is the scatter-add that replaces the reference backward's
-    atomics (kernels_backward.cuh) with an XLA segment-sum.
+    atomics (kernels_backward.cuh) with an XLA segment-sum. Every feature is
+    select-masked by validity so uninitialized cotangents at slack slots can
+    never reach the gaussian gradients (select, not multiply: NaN-safe).
     """
     g = assignment.gaussian_idx
     valid = assignment.instance_valid
-    mean2d = proj.mean2d[g]
-    conic = proj.conic[g]
+    v1 = valid[:, None]
+    mean2d = jnp.where(v1, proj.mean2d[g], 0.0)
+    conic = jnp.where(v1, proj.conic[g], 0.0)
     opac = jnp.where(valid, proj.opacity[g], 0.0)
     zeros = jnp.zeros_like(opac)
     geom = jnp.stack(
         [mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2], opac, zeros, zeros],
         axis=-1,
     )
-    color = proj.color[g]
+    color = jnp.where(v1, proj.color[g], 0.0)
     return geom, color
