@@ -104,7 +104,8 @@ def _forward_kernel(
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    # pad_tile_ranges guarantees starts are CHUNK-aligned (see ops.tiles).
+    start = pl.multiple_of(tile_start_ref[t], CHUNK)
     count = tile_count_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
@@ -154,6 +155,7 @@ def _forward_kernel(
             w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [4, P]
 
         t_new = jnp.min(
@@ -194,7 +196,9 @@ def _backward_kernel(
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    # pad_tile_ranges guarantees starts are CHUNK-aligned; Mosaic needs the
+    # hint to prove lane-dim DMA slice alignment.
+    start = pl.multiple_of(tile_start_ref[t], CHUNK)
     count = tile_count_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
@@ -262,6 +266,7 @@ def _backward_kernel(
         dcolor = jax.lax.dot_general(
             g_img, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [4, CHUNK]
         # clamp max(c,0): zero grad where c < 0
         dcolor = jnp.where(f[8:12, :] > 0.0, dcolor, 0.0)
@@ -270,6 +275,7 @@ def _backward_kernel(
         cg = jax.lax.dot_general(
             colors, g_img, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [CHUNK, P]
 
         wcg = w * cg
