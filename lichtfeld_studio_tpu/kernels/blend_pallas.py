@@ -460,20 +460,18 @@ _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
 def blend_pallas(
-    geom: jax.Array,  # [I, 8] sorted instance features
-    color: jax.Array,  # [I, C<=4]
-    tile_start: jax.Array,  # [T]
+    feat_rows: jax.Array,  # [I, 16] packed instance features (ops.tiles layout)
+    tile_start: jax.Array,  # [T] (CHUNK-aligned starts, see pad_tile_ranges)
     tile_count: jax.Array,  # [T]
     *,
     grid_w: int,
     grid_h: int,
     tile_size: int = 16,
+    n_channels: int = 3,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
-    i = geom.shape[0]
-    n_ch = color.shape[1]
-    color4 = jnp.pad(color, ((0, 0), (0, 4 - n_ch))) if n_ch < 4 else color
-    feat = jnp.concatenate([geom.T, color4.T, jnp.zeros((4, i), geom.dtype)], axis=0)
+    n_ch = n_channels
+    feat = feat_rows.T  # [16, I] feature-major for lane-axis streaming
 
     out = _blend_core(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
     ts = tile_size

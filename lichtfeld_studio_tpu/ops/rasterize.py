@@ -30,7 +30,7 @@ from lichtfeld_studio_tpu.ops.projection import project_gaussians
 from lichtfeld_studio_tpu.ops.tiles import (
     build_tile_assignment,
     gather_instance_features,
-    pad_tile_ranges,
+    pack_features,
 )
 
 
@@ -93,40 +93,37 @@ def rasterize(
         n_instances = jnp.sum(proj.n_touched)
         image, depth = _split_depth(image4, with_depth)
     elif mode in ("tiles", "pallas"):
-        assignment = build_tile_assignment(
-            proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap
-        )
+        n_ch = 4 if with_depth else 3
         if mode == "pallas":
-            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK
+            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas
 
-            assignment = pad_tile_ranges(assignment, CHUNK)
-        geom, color = gather_instance_features(proj, assignment)
-        if with_depth:
-            inst_depth = jnp.where(
-                assignment.instance_valid, proj.depth[assignment.gaussian_idx], 0.0
+            assignment = build_tile_assignment(
+                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
+                chunk_align=CHUNK,
             )
-            color = jnp.concatenate([color, inst_depth[:, None]], axis=-1)
-        if mode == "tiles":
-            image4, alpha = blend_tiles(
-                geom,
-                color,
-                assignment,
-                grid_w=grid_w,
-                grid_h=grid_h,
-                tile_size=tile_size,
-                k_max=k_max,
-            )
-        else:
-            from lichtfeld_studio_tpu.kernels.blend_pallas import blend_pallas
-
+            feat = gather_instance_features(pack_features(proj, with_depth), assignment)
             image4, alpha = blend_pallas(
-                geom,
-                color,
+                feat,
                 assignment.tile_start,
                 assignment.tile_count,
                 grid_w=grid_w,
                 grid_h=grid_h,
                 tile_size=tile_size,
+                n_channels=n_ch,
+            )
+        else:
+            assignment = build_tile_assignment(
+                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap
+            )
+            feat = gather_instance_features(pack_features(proj, with_depth), assignment)
+            image4, alpha = blend_tiles(
+                feat,
+                assignment,
+                grid_w=grid_w,
+                grid_h=grid_h,
+                tile_size=tile_size,
+                k_max=k_max,
+                n_channels=n_ch,
             )
         image4 = image4[:height, :width]
         alpha = alpha[:height, :width]

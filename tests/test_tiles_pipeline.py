@@ -26,18 +26,25 @@ def test_assignment_counts_and_order(rng):
     cam = make_camera(64, 48)
     splats = make_random_splats(rng, n=64)
     proj = _proj(splats, cam)
-    asg = build_tile_assignment(proj, grid_w=4, grid_h=3, instance_cap=4096)
-    n_inst = int(asg.n_instances)
-    assert n_inst == int(np.asarray(proj.n_touched).sum())
-    assert int(np.asarray(asg.instance_valid).sum()) == n_inst
-    # per-tile instances must be depth sorted
-    g = np.asarray(asg.gaussian_idx)
-    depth = np.asarray(proj.depth)
-    starts, counts = np.asarray(asg.tile_start), np.asarray(asg.tile_count)
-    assert counts.sum() == n_inst
-    for t in range(12):
-        d = depth[g[starts[t] : starts[t] + counts[t]]]
-        assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
+    for chunk in (1, 64):  # compact layout and the pallas chunk-aligned one
+        asg = build_tile_assignment(
+            proj, grid_w=4, grid_h=3, instance_cap=4096, chunk_align=chunk
+        )
+        n_inst = int(asg.n_instances)
+        assert n_inst == int(np.asarray(proj.n_touched).sum())
+        assert int(np.asarray(asg.instance_valid).sum()) == n_inst
+        # per-tile instances must be depth sorted, ranges chunk-aligned
+        g = np.asarray(asg.gaussian_idx)
+        valid = np.asarray(asg.instance_valid)
+        depth = np.asarray(proj.depth)
+        starts, counts = np.asarray(asg.tile_start), np.asarray(asg.tile_count)
+        assert counts.sum() == n_inst
+        for t in range(12):
+            assert starts[t] % chunk == 0
+            sl = slice(starts[t], starts[t] + counts[t])
+            assert valid[sl].all()
+            d = depth[g[sl]]
+            assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
 
 
 def test_tiles_matches_oracle(rng):
@@ -90,3 +97,23 @@ def test_overflow_reported(rng):
     asg = build_tile_assignment(proj, grid_w=4, grid_h=3, instance_cap=16)
     assert int(asg.n_instances) == true_total  # true total still reported
     assert int(np.asarray(asg.instance_valid).sum()) <= 16
+
+
+def test_pallas_layout_matches_compact(rng):
+    """The chunk-aligned layout holds exactly the compact layout's instances,
+    per tile, in the same order."""
+    cam = make_camera(64, 48)
+    splats = make_random_splats(rng, n=64)
+    proj = _proj(splats, cam)
+    a1 = build_tile_assignment(proj, grid_w=4, grid_h=3, instance_cap=4096)
+    a2 = build_tile_assignment(
+        proj, grid_w=4, grid_h=3, instance_cap=4096, chunk_align=128
+    )
+    g1, g2 = np.asarray(a1.gaussian_idx), np.asarray(a2.gaussian_idx)
+    s1, s2 = np.asarray(a1.tile_start), np.asarray(a2.tile_start)
+    c = np.asarray(a1.tile_count)
+    np.testing.assert_array_equal(c, np.asarray(a2.tile_count))
+    for t in range(12):
+        np.testing.assert_array_equal(
+            g1[s1[t] : s1[t] + c[t]], g2[s2[t] : s2[t] + c[t]]
+        )
