@@ -1,0 +1,113 @@
+"""Headline benchmark: full MCMC train-step throughput at garden scale.
+
+Synthetic stand-in for the MipNeRF360-garden protocol (no dataset ships in
+this environment): 1M-capacity model, ~600k visible gaussians, 1296x840
+target (garden at factor 4), full train step = render -> L1+SSIM loss ->
+backward -> MCMC post_backward (relocation/growth/noise on schedule) ->
+fused Adam -> LR schedule.
+
+Baseline: the reference trains garden/MCMC 30k iters in ~20 min on the
+bounty-grade GPU (README.md:50 "below 20 minutes" fused-Adam note,
+fused_adam.cpp:12) => ~25 it/s. vs_baseline = ours / 25.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import dataclasses
+
+    from lichtfeld_studio_tpu.core.camera import look_at_camera
+    from lichtfeld_studio_tpu.core.splat_data import SplatData
+    from lichtfeld_studio_tpu.train.state import (
+        TrainConfig,
+        init_train_state,
+        make_lrs,
+        train_step,
+    )
+    from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    W, H = 1296, 840
+    CAP = 1_000_000
+    N0 = 600_000
+    ICAP = 2**22
+
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
+    col = rng.uniform(0, 1, (N0, 3)).astype(np.float32)
+    splats = SplatData(
+        means=jnp.asarray(np.pad(pos, ((0, CAP - N0), (0, 0)))),
+        sh0=jnp.asarray(np.pad(((col - 0.5) / 0.2821)[:, None, :], ((0, CAP - N0), (0, 0), (0, 0)))),
+        shN=jnp.zeros((CAP, 15, 3)),
+        scaling=jnp.full((CAP, 3), float(np.log(0.02))),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (CAP, 1)),
+        opacity=jnp.full((CAP, 1), 0.0),
+        n_active=jnp.asarray(N0, jnp.int32),
+        active_sh_degree=jnp.asarray(3, jnp.int32),
+        max_sh_degree=3,
+        scene_scale=3.0,
+    )
+    cam = look_at_camera(
+        np.array([0.0, 0.0, -8.0]), np.zeros(3), np.array([0.0, -1.0, 0.0]),
+        fx=1000.0, fy=1000.0, width=W, height=H,
+    ).device_params()
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    mode = "pallas" if backend in ("tpu", "axon") else "tiles"
+    cfg = TrainConfig(
+        iterations=30_000,
+        raster_mode=mode,
+        instance_cap=ICAP,
+        k_max=1024,
+        mcmc=MCMCConfig(max_cap=CAP, start_refine=5, stop_refine=1000, refine_every=10),
+        lr_gamma=0.01 ** (1.0 / 30_000),
+    )
+    lrs = make_lrs(1.6e-5, 2.5e-3, 5e-3, 1e-3, 0.05, splats.scene_scale)
+    state = init_train_state(splats, lrs, seed=0)
+
+    t0 = time.time()
+    state, metrics = train_step(state, cam, gt, bg, cfg)
+    loss0 = float(metrics["loss"])  # forces completion
+    log(f"compile+first step: {time.time()-t0:.1f}s, loss={loss0:.4f}, "
+        f"instances={int(metrics['n_instances'])}")
+
+    warmup, iters = 3, 20
+    for _ in range(warmup):
+        state, metrics = train_step(state, cam, gt, bg, cfg)
+    _ = float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = train_step(state, cam, gt, bg, cfg)
+    _ = float(metrics["loss"])
+    dt = time.time() - t0
+    its = iters / dt
+    log(f"{iters} steps in {dt:.2f}s -> {its:.2f} it/s "
+        f"(n_active={int(metrics['n_active'])})")
+
+    print(json.dumps({
+        "metric": "mcmc_train_step_throughput_1Mcap_1296x840",
+        "value": round(its, 3),
+        "unit": "it/s",
+        "vs_baseline": round(its / 25.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

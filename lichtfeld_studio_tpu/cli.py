@@ -1,0 +1,219 @@
+"""Command-line interface.
+
+Reference: src/core/argument_parser.cpp (~45 flags, three-stage config:
+CLI parse -> strategy JSON defaults -> CLI overrides -> steps_scaler).
+Flag names and semantics match so reference invocations port directly:
+
+    lfs-tpu --data-path <dir> --output-path <dir> --headless --eval ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from lichtfeld_studio_tpu.config.parameters import (
+    DatasetConfig,
+    OptimizationParameters,
+    TrainingParameters,
+    apply_step_scaling,
+    load_optim_params_from_json,
+    preset_for_strategy,
+)
+
+RENDER_MODES = {"RGB", "D", "ED", "RGB_D", "RGB_ED"}
+POSE_MODES = {"none", "direct", "mlp"}
+STRATEGIES = {"mcmc", "default"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lfs-tpu",
+        description="LichtFeld-Studio-TPU: TPU-native 3D Gaussian Splatting",
+    )
+    # dataset
+    p.add_argument("-d", "--data-path", type=str, default="")
+    p.add_argument("-o", "--output-path", type=str, default="output")
+    p.add_argument("--project-path", type=str, default="")
+    p.add_argument("--images", type=str, default="images")
+    p.add_argument("-r", "--resize-factor", type=int, default=-1)
+    p.add_argument("--max-width", type=int, default=3840)
+    p.add_argument("--test-every", type=int, default=8)
+    p.add_argument("--timelapse-every", type=int, default=50)
+    p.add_argument("--timelapse-images", type=str, nargs="*", default=[])
+    # core training
+    p.add_argument("-i", "--iterations", type=int, default=None)
+    p.add_argument("--strategy", type=str, default="mcmc", choices=sorted(STRATEGIES))
+    p.add_argument("--config", type=str, default="", help="JSON optimization params")
+    p.add_argument("--sh-degree", type=int, default=None)
+    p.add_argument("--max-cap", type=int, default=None)
+    p.add_argument("--min-opacity", type=float, default=None)
+    p.add_argument("--refine-every", type=int, default=None)
+    p.add_argument("--start-refine", type=int, default=None)
+    p.add_argument("--stop-refine", type=int, default=None)
+    p.add_argument("--grad-threshold", type=float, default=None)
+    p.add_argument("--opacity-reg", type=float, default=None)
+    p.add_argument("--scale-reg", type=float, default=None)
+    p.add_argument("--steps-scaler", type=float, default=None)
+    p.add_argument("--eval", action="store_true", help="enable evaluation")
+    p.add_argument("--headless", action="store_true")
+    p.add_argument("--render-mode", type=str, default=None, choices=sorted(RENDER_MODES))
+    p.add_argument("--pose-optimization", type=str, default=None, choices=sorted(POSE_MODES))
+    p.add_argument("--preload-to-ram", action="store_true")
+    p.add_argument("--bg-modulation", action="store_true")
+    p.add_argument("--antialiasing", action="store_true")
+    p.add_argument("--gut", action="store_true")
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--skip-intermediate", action="store_true")
+    p.add_argument("--save-eval-images", action="store_true", default=None)
+    p.add_argument("--eval-steps", type=int, nargs="*", default=None)
+    p.add_argument("--save-steps", type=int, nargs="*", default=None)
+    # bilateral grid
+    p.add_argument("--bilateral-grid", action="store_true")
+    p.add_argument("--bilateral-grid-x", type=int, default=None)
+    p.add_argument("--bilateral-grid-y", type=int, default=None)
+    p.add_argument("--bilateral-grid-w", type=int, default=None)
+    p.add_argument("--tv-loss-weight", type=float, default=None)
+    # init
+    p.add_argument("--init-ply", type=str, default=None)
+    p.add_argument("--random", action="store_true", dest="random_init")
+    p.add_argument("--init-num-pts", type=int, default=None)
+    p.add_argument("--init-extent", type=float, default=None)
+    # sparsity
+    p.add_argument("--sparsity", action="store_true", dest="enable_sparsity")
+    p.add_argument("--sparsify-steps", type=int, default=None)
+    p.add_argument("--prune-ratio", type=float, default=None)
+    p.add_argument("--init-rho", type=float, default=None)
+    # export
+    p.add_argument("--sog", action="store_true", dest="save_sog")
+    p.add_argument("--sog-iterations", type=int, default=None)
+    # viewer / render
+    p.add_argument("-v", "--view", type=str, default="", help="render a PLY headlessly")
+    p.add_argument("--render-output", type=str, default="render.png")
+    # TPU-specific
+    p.add_argument("--instance-cap", type=int, default=None)
+    p.add_argument("--log-level", type=str, default="info")
+    return p
+
+
+_OVERRIDE_MAP = {
+    # argparse dest -> OptimizationParameters field
+    "iterations": "iterations",
+    "sh_degree": "sh_degree",
+    "max_cap": "max_cap",
+    "min_opacity": "min_opacity",
+    "refine_every": "refine_every",
+    "start_refine": "start_refine",
+    "stop_refine": "stop_refine",
+    "grad_threshold": "grad_threshold",
+    "opacity_reg": "opacity_reg",
+    "scale_reg": "scale_reg",
+    "steps_scaler": "steps_scaler",
+    "render_mode": "render_mode",
+    "pose_optimization": "pose_optimization",
+    "num_workers": "num_workers",
+    "eval_steps": "eval_steps",
+    "save_steps": "save_steps",
+    "bilateral_grid_x": "bilateral_grid_X",
+    "bilateral_grid_y": "bilateral_grid_Y",
+    "bilateral_grid_w": "bilateral_grid_W",
+    "tv_loss_weight": "tv_loss_weight",
+    "init_num_pts": "init_num_pts",
+    "init_extent": "init_extent",
+    "sparsify_steps": "sparsify_steps",
+    "prune_ratio": "prune_ratio",
+    "init_rho": "init_rho",
+    "sog_iterations": "sog_iterations",
+    "instance_cap": "instance_cap",
+    "save_eval_images": "enable_save_eval_images",
+}
+_FLAG_MAP = {
+    "eval": "enable_eval",
+    "headless": "headless",
+    "preload_to_ram": "preload_to_ram",
+    "bg_modulation": "bg_modulation",
+    "antialiasing": "antialiasing",
+    "gut": "gut",
+    "skip_intermediate": "skip_intermediate_saving",
+    "bilateral_grid": "use_bilateral_grid",
+    "random_init": "random_init",
+    "enable_sparsity": "enable_sparsity",
+    "save_sog": "save_sog",
+}
+
+
+def parse_args_and_params(argv: list[str] | None = None) -> TrainingParameters:
+    """Three-stage config resolution
+    (reference argument_parser.cpp:447-492 + apply_cmd_overrides :322-413)."""
+    args = build_parser().parse_args(argv)
+
+    # 1. strategy-selected JSON defaults (or explicit --config)
+    if args.config:
+        opt = load_optim_params_from_json(args.config)
+    else:
+        opt = preset_for_strategy(args.strategy)
+    opt = dataclasses.replace(opt, strategy=args.strategy)
+
+    # 2. CLI overrides on top of JSON
+    upd = {}
+    for dest, fieldname in _OVERRIDE_MAP.items():
+        v = getattr(args, dest, None)
+        if v is not None:
+            upd[fieldname] = v
+    for dest, fieldname in _FLAG_MAP.items():
+        if getattr(args, dest, False):
+            upd[fieldname] = True
+    opt = dataclasses.replace(opt, **upd)
+
+    # 3. steps_scaler rescaling
+    opt = apply_step_scaling(opt)
+
+    ds = DatasetConfig(
+        data_path=args.data_path,
+        output_path=args.output_path,
+        project_path=args.project_path,
+        images=args.images,
+        resize_factor=args.resize_factor,
+        test_every=args.test_every,
+        timelapse_images=args.timelapse_images,
+        timelapse_every=args.timelapse_every,
+        max_width=args.max_width,
+    )
+    return TrainingParameters(
+        dataset=ds, optimization=opt, ply_path=args.view, init_ply=args.init_ply
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    params = parse_args_and_params(argv)
+    args = build_parser().parse_args(argv)
+
+    if params.ply_path:  # headless render of an existing splat
+        from lichtfeld_studio_tpu.render.headless import render_ply_orbit
+
+        render_ply_orbit(params.ply_path, args.render_output)
+        return 0
+
+    if not params.dataset.data_path:
+        print("error: --data-path required for training", file=sys.stderr)
+        return 2
+
+    from lichtfeld_studio_tpu.train.trainer import Trainer
+
+    trainer = Trainer.setup(params)
+
+    def progress(it, loss, n):
+        print(f"iter {it:>6}  loss {loss:.5f}  gaussians {n}", flush=True)
+
+    trainer.progress_callback = progress
+    stats = trainer.train()
+    print(
+        f"done: {stats['elapsed_s']:.1f}s ({stats['iters_per_s']:.2f} it/s), "
+        f"{stats['num_gaussians']} gaussians, final loss {stats['final_loss']:.5f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

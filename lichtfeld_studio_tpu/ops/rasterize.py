@@ -63,7 +63,12 @@ def rasterize(
     instance_cap: int = 2**20,
     k_max: int = 1024,
     with_depth: bool = False,
+    mean2d_offset: jax.Array | None = None,
 ) -> RenderOutput:
+    """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
+    the trainer can read d(loss)/d(mean2d) for ADC densification — the
+    functional replacement for the reference's densification_info
+    accumulation inside preprocess_backward (kernels_backward.cuh:233-235)."""
     width, height = camera.width, camera.height
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
@@ -84,6 +89,10 @@ def rasterize(
         height=height,
         tile_size=tile_size,
     )
+    if mean2d_offset is not None:
+        import dataclasses
+
+        proj = dataclasses.replace(proj, mean2d=proj.mean2d + mean2d_offset)
 
     if mode == "oracle":
         color = proj.color

@@ -1,0 +1,123 @@
+"""Headless rendering — the TPU replacement for the OpenGL/ImGui viewer.
+
+Reference: the interactive viewer (src/visualizer/, src/rendering/) renders
+via an inference-only copy of the fast rasterizer (K25,
+src/rendering/cuda/). Headless TPU equivalent: jit the forward rasterizer
+once and stream frames to PNG/MP4; the parity target is the >=100 FPS 1080p
+headless render path (BASELINE.md), not ImGui.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lichtfeld_studio_tpu.core.camera import Camera, look_at_camera
+from lichtfeld_studio_tpu.core.splat_data import SplatData
+from lichtfeld_studio_tpu.io.image import save_image
+from lichtfeld_studio_tpu.io.ply import read_ply
+from lichtfeld_studio_tpu.ops.rasterize import rasterize
+
+
+def render_view(
+    splats: SplatData,
+    camera: Camera,
+    bg_color=(0.0, 0.0, 0.0),
+    mode: str | None = None,
+    instance_cap: int = 2**21,
+) -> np.ndarray:
+    if mode is None:
+        mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
+    out = rasterize(
+        splats,
+        camera.device_params(),
+        jnp.asarray(bg_color, jnp.float32),
+        mode=mode,
+        instance_cap=instance_cap,
+    )
+    return np.clip(np.asarray(out.image), 0.0, 1.0)
+
+
+def splats_from_ply(path: str | Path, capacity: int | None = None) -> SplatData:
+    pc = read_ply(path)
+    return SplatData.from_arrays(
+        pc.means, pc.sh0, pc.shN, pc.scaling, pc.rotation, pc.opacity,
+        capacity=capacity,
+    )
+
+
+def render_ply_orbit(
+    ply_path: str | Path,
+    output: str = "render.png",
+    n_frames: int = 1,
+    width: int = 1920,
+    height: int = 1080,
+) -> None:
+    """Render one or more orbit views of a splat PLY to disk."""
+    splats = splats_from_ply(ply_path)
+    center = np.asarray(jnp.mean(splats.means[: int(splats.n_active)], axis=0))
+    radius = 2.5 * splats.scene_scale
+    out_path = Path(output)
+    t0 = time.time()
+    for k in range(n_frames):
+        theta = 2.0 * np.pi * k / max(n_frames, 1)
+        eye = center + radius * np.array([np.sin(theta), -0.2, np.cos(theta)])
+        cam = look_at_camera(
+            eye, center, np.array([0.0, -1.0, 0.0]),
+            fx=0.8 * width, fy=0.8 * width, width=width, height=height,
+        )
+        img = render_view(splats, cam)
+        path = out_path if n_frames == 1 else out_path.with_stem(f"{out_path.stem}_{k:04d}")
+        save_image(str(path), img)
+    dt = time.time() - t0
+    print(f"rendered {n_frames} frame(s) in {dt:.2f}s ({n_frames/dt:.1f} FPS incl IO)")
+
+
+def benchmark_fps(
+    splats: SplatData,
+    width: int = 1920,
+    height: int = 1080,
+    n_frames: int = 30,
+    instance_cap: int = 2**21,
+) -> float:
+    """Pure render throughput at fixed camera count (device-side only)."""
+    center = np.asarray(jnp.mean(splats.means[: int(splats.n_active)], axis=0))
+    radius = 2.5 * splats.scene_scale
+    mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
+    bg = jnp.zeros(3)
+
+    cams = []
+    for k in range(8):
+        theta = 2.0 * np.pi * k / 8
+        eye = center + radius * np.array([np.sin(theta), -0.2, np.cos(theta)])
+        cams.append(
+            look_at_camera(eye, center, np.array([0.0, -1.0, 0.0]),
+                           fx=0.8 * width, fy=0.8 * width, width=width, height=height)
+        )
+
+    f = jax.jit(
+        lambda s, w2c, cp: rasterize(
+            s,
+            cams[0].device_params().__class__(
+                w2c=w2c, cam_position=cp,
+                K=jnp.asarray([cams[0].fx, cams[0].fy, cams[0].cx, cams[0].cy], jnp.float32),
+                uid=jnp.asarray(0, jnp.int32), width=width, height=height,
+            ),
+            bg,
+            mode=mode,
+            instance_cap=instance_cap,
+        ).image
+    )
+    # warmup
+    img = f(splats, jnp.asarray(cams[0].w2c), jnp.asarray(cams[0].cam_position))
+    _ = float(img.ravel()[0])
+    t0 = time.time()
+    for k in range(n_frames):
+        c = cams[k % 8]
+        img = f(splats, jnp.asarray(c.w2c), jnp.asarray(c.cam_position))
+    _ = float(img.ravel()[0])
+    return n_frames / (time.time() - t0)

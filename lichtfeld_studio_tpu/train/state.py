@@ -56,7 +56,7 @@ class TrainConfig:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["splats", "adam", "key", "iteration", "binoms"],
+    data_fields=["splats", "adam", "key", "iteration", "binoms", "densify_count", "densify_grad"],
     meta_fields=[],
 )
 @dataclass
@@ -66,6 +66,10 @@ class TrainState:
     key: jax.Array
     iteration: jax.Array  # [] int32, 0-based count of completed steps
     binoms: jax.Array  # [51, 51] MCMC binomial table
+    # ADC densification stats (reference _densification_info [2, N],
+    # splat_data.hpp:97): visible count + pixel-scaled mean2d grad-norm sums
+    densify_count: jax.Array  # [C]
+    densify_grad: jax.Array  # [C]
 
 
 def make_lrs(opt_means_lr: float, shs_lr: float, scaling_lr: float,
@@ -83,26 +87,33 @@ def make_lrs(opt_means_lr: float, shs_lr: float, scaling_lr: float,
 
 
 def init_train_state(splats: SplatData, lrs: dict[str, float], seed: int = 0) -> TrainState:
+    c = splats.capacity
     return TrainState(
         splats=splats,
         adam=init_adam(splats.trainable_dict(), lrs),
         key=jax.random.PRNGKey(seed),
         iteration=jnp.asarray(0, jnp.int32),
         binoms=make_binoms(),
+        densify_count=jnp.zeros((c,), jnp.float32),
+        densify_grad=jnp.zeros((c,), jnp.float32),
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def train_step(
+def compute_grads(
     state: TrainState,
     camera: CameraParams,
     gt_image: jax.Array,  # [H, W, 3]
     bg_color: jax.Array,  # [3]
     cfg: TrainConfig,
-) -> tuple[TrainState, dict]:
-    iteration = state.iteration + 1  # 1-based, like the reference loop
+):
+    """Render + loss + backward for one camera. Split from apply_update so
+    the data-parallel wrapper (parallel/data_parallel.py) can psum gradients
+    between the two halves."""
+
+    need_m2d = cfg.strategy == "default"
 
     def loss_fn(params):
+        m2d_dummy = params.pop("_mean2d", None)
         s = state.splats.replace_trainable(params)
         out = rasterize(
             s,
@@ -112,20 +123,40 @@ def train_step(
             tile_size=cfg.tile_size,
             instance_cap=cfg.instance_cap,
             k_max=cfg.k_max,
+            mean2d_offset=m2d_dummy,
         )
         loss = photometric_loss(out.image, gt_image, cfg.lambda_dssim)
         loss = loss + scale_reg_loss(s, cfg.scale_reg)
         loss = loss + opacity_reg_loss(s, cfg.opacity_reg)
         return loss, out
 
-    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.splats.trainable_dict()
-    )
+    params = dict(state.splats.trainable_dict())
+    if need_m2d:
+        # zero dummy whose gradient is d(loss)/d(mean2d) — feeds the ADC
+        # densification stats (reference kernels_backward.cuh:233-235)
+        params["_mean2d"] = jnp.zeros((state.splats.capacity, 2), jnp.float32)
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, out, grads
+
+
+def apply_update(
+    state: TrainState,
+    grads: dict,
+    cfg: TrainConfig,
+    loss: jax.Array,
+    out,
+) -> tuple[TrainState, dict]:
+    """Strategy post_backward + Adam + LR schedule (the reference's
+    post_backward -> step ordering, trainer.cpp:745-758)."""
+    iteration = state.iteration + 1  # 1-based, like the reference loop
 
     # --- strategy post_backward BEFORE the optimizer step (trainer.cpp:745-758) ---
     key, sub = jax.random.split(state.key)
     splats = state.splats
     adam = state.adam
+    densify_count, densify_grad = state.densify_count, state.densify_grad
+    grads = dict(grads)
+    dmean2d = grads.pop("_mean2d", None)
     if cfg.strategy == "mcmc":
         splats, adam = mcmc_strategy.post_backward(
             sub, iteration, splats, adam, state.binoms, cfg.mcmc
@@ -133,7 +164,17 @@ def train_step(
     elif cfg.strategy == "default":
         from lichtfeld_studio_tpu.train.strategies import adc
 
-        splats, adam = adc.post_backward(sub, iteration, splats, adam, grads, out, cfg)
+        # accumulate densification stats from this step's mean2d grads
+        # (reference kernels_backward.cuh:233-235: pixel-scaled grad norms)
+        vis = out.visibility.astype(jnp.float32)
+        half = jnp.asarray([0.5 * out.width, 0.5 * out.height], jnp.float32)
+        gnorm = jnp.linalg.norm(dmean2d * half[None, :], axis=-1)
+        densify_count = densify_count + vis
+        densify_grad = densify_grad + jnp.where(out.visibility, gnorm, 0.0)
+
+        splats, adam, densify_count, densify_grad = adc.post_backward(
+            sub, iteration, splats, adam, densify_count, densify_grad, cfg
+        )
     else:
         raise ValueError(f"unknown strategy {cfg.strategy}")
 
@@ -149,7 +190,8 @@ def train_step(
     )
 
     new_state = TrainState(
-        splats=splats, adam=adam, key=key, iteration=iteration, binoms=state.binoms
+        splats=splats, adam=adam, key=key, iteration=iteration, binoms=state.binoms,
+        densify_count=densify_count, densify_grad=densify_grad,
     )
     metrics = {
         "loss": loss,
@@ -157,3 +199,17 @@ def train_step(
         "n_instances": out.n_instances,
     }
     return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_step(
+    state: TrainState,
+    camera: CameraParams,
+    gt_image: jax.Array,  # [H, W, 3]
+    bg_color: jax.Array,  # [3]
+    cfg: TrainConfig,
+) -> tuple[TrainState, dict]:
+    """Single-chip train step: one camera per step, like the reference
+    (batch size 1, dataset.hpp:242)."""
+    loss, out, grads = compute_grads(state, camera, gt_image, bg_color, cfg)
+    return apply_update(state, grads, cfg, loss, out)

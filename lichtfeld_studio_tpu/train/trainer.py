@@ -1,0 +1,225 @@
+"""Host-side training orchestration.
+
+Reference: src/training/trainer.{cpp,hpp} (Trainer) + training_setup.cpp.
+The reference trainer owns the datasets/strategy/optimizer and runs
+train_step with five backward passes, host-synced loss reads and
+mutex-guarded model access. Here all device work lives in the single jitted
+train_step (train/state.py); this class only: feeds prefetched camera
+batches, fetches the loss asynchronously (one scalar, one step behind — no
+pipeline stall), triggers eval/save at the scheduled steps, and writes
+checkpoints/reports.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lichtfeld_studio_tpu.config.parameters import TrainingParameters
+from lichtfeld_studio_tpu.core.splat_data import SplatData
+from lichtfeld_studio_tpu.io.dataset import CameraDataset, InfiniteRandomLoader, load_dataset
+from lichtfeld_studio_tpu.io.ply import read_ply, write_ply
+from lichtfeld_studio_tpu.train.metrics import MetricsEvaluator
+from lichtfeld_studio_tpu.train.state import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_lrs,
+    train_step,
+)
+from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
+
+
+def _default_raster_mode() -> str:
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
+
+
+@dataclass
+class Trainer:
+    params: TrainingParameters
+    train_set: CameraDataset
+    val_set: CameraDataset
+    state: TrainState
+    cfg: TrainConfig
+    output_dir: Path
+    evaluator: Optional[MetricsEvaluator] = None
+    progress_callback: Optional[Callable[[int, float, int], None]] = None
+    _loader: Optional[InfiniteRandomLoader] = None
+
+    @staticmethod
+    def setup(params: TrainingParameters) -> "Trainer":
+        """Dataset -> SplatData init -> strategy/optimizer -> Trainer
+        (reference training_setup.cpp:14-129)."""
+        opt = params.optimization
+        ds = params.dataset
+        cameras, pcd, scene_center = load_dataset(
+            ds.data_path, ds.images, ds.resize_factor, ds.max_width
+        )
+        train_set = CameraDataset(cameras, "train", ds.test_every if opt.enable_eval else 0)
+        val_set = CameraDataset(cameras, "val", ds.test_every)
+
+        capacity = opt.max_cap
+        if params.init_ply:  # warm start (training_setup.cpp:50-71)
+            pc = read_ply(params.init_ply)
+            splats = SplatData.from_arrays(
+                pc.means, pc.sh0, pc.shN, pc.scaling, pc.rotation, pc.opacity,
+                capacity=capacity,
+            )
+        elif opt.random_init:
+            splats = SplatData.random_init(
+                jax.random.PRNGKey(0),
+                num_points=opt.init_num_pts,
+                extent=opt.init_extent,
+                capacity=capacity,
+                max_sh_degree=opt.sh_degree,
+                init_opacity=opt.init_opacity,
+                init_scaling=opt.init_scaling,
+            )
+        else:
+            splats = SplatData.from_point_cloud(
+                pcd.means,
+                (pcd.colors if pcd.colors is not None else np.full_like(pcd.means, 127.0)) / 255.0,
+                scene_center,
+                capacity=capacity,
+                max_sh_degree=opt.sh_degree,
+                init_opacity=opt.init_opacity,
+                init_scaling=opt.init_scaling,
+            )
+
+        lrs = make_lrs(
+            opt.means_lr, opt.shs_lr, opt.scaling_lr, opt.rotation_lr,
+            opt.opacity_lr, splats.scene_scale,
+        )
+        state = init_train_state(splats, lrs)
+
+        cfg = TrainConfig(
+            iterations=opt.iterations,
+            lambda_dssim=opt.lambda_dssim,
+            scale_reg=opt.scale_reg,
+            opacity_reg=opt.opacity_reg,
+            raster_mode=_default_raster_mode(),
+            tile_size=opt.tile_size,
+            instance_cap=opt.instance_cap,
+            strategy=opt.strategy,
+            mcmc=MCMCConfig(
+                max_cap=opt.max_cap,
+                min_opacity=opt.min_opacity,
+                start_refine=opt.start_refine,
+                stop_refine=opt.stop_refine,
+                refine_every=opt.refine_every,
+                sh_degree_interval=opt.sh_degree_interval,
+            ),
+            lr_gamma=0.01 ** (1.0 / opt.iterations),
+            grad_threshold=opt.grad_threshold,
+            prune_opacity=opt.prune_opacity,
+            grow_scale3d=opt.grow_scale3d,
+            grow_scale2d=opt.grow_scale2d,
+            prune_scale3d=opt.prune_scale3d,
+            prune_scale2d=opt.prune_scale2d,
+            reset_every=opt.reset_every,
+            pause_refine_after_reset=opt.pause_refine_after_reset,
+            revised_opacity=opt.revised_opacity,
+        )
+
+        output_dir = Path(ds.output_path or "output")
+        output_dir.mkdir(parents=True, exist_ok=True)
+        evaluator = None
+        if opt.enable_eval:
+            evaluator = MetricsEvaluator(
+                val_set,
+                output_dir,
+                save_images=opt.enable_save_eval_images,
+                raster_mode=cfg.raster_mode,
+                instance_cap=cfg.instance_cap,
+                k_max=cfg.k_max,
+            )
+        return Trainer(
+            params=params,
+            train_set=train_set,
+            val_set=val_set,
+            state=state,
+            cfg=cfg,
+            output_dir=output_dir,
+            evaluator=evaluator,
+        )
+
+    # ------------------------------------------------------------------
+    def train(self) -> dict:
+        """Main loop (reference trainer.cpp:860-987)."""
+        opt = self.params.optimization
+        self._loader = InfiniteRandomLoader(
+            self.train_set,
+            num_workers=opt.num_workers,
+            seed=1,
+            preload=opt.preload_to_ram,
+        )
+        bg = jnp.zeros(3)
+        eval_steps = set(opt.eval_steps) if opt.enable_eval else set()
+        save_steps = set(opt.save_steps) if not opt.skip_intermediate_saving else set()
+
+        pending_loss = None
+        t_start = time.time()
+        losses = []
+        try:
+            for it in range(1, opt.iterations + 1):
+                cam, img = next(self._loader)
+                gt = jnp.asarray(img)
+                self.state, metrics = train_step(
+                    self.state, cam.device_params(), gt, bg, self.cfg
+                )
+                # read last step's loss (device round-trip hidden by this
+                # step's compute — replaces the reference's sync loss.item)
+                if pending_loss is not None:
+                    losses.append(float(pending_loss))
+                pending_loss = metrics["loss"]
+
+                if self.progress_callback and it % 10 == 0:
+                    self.progress_callback(
+                        it, losses[-1] if losses else float("nan"),
+                        int(self.state.splats.n_active),
+                    )
+                if it in eval_steps and self.evaluator is not None:
+                    m = self.evaluator.evaluate(self.state.splats, it)
+                    print(
+                        f"[eval] iter {it}: PSNR {m.psnr:.3f} SSIM {m.ssim:.4f} "
+                        f"LPIPS {m.lpips:.4f} gaussians {m.num_gaussians}",
+                        flush=True,
+                    )
+                if it in save_steps and it != opt.iterations:
+                    self.save_ply(it)
+            losses.append(float(pending_loss))
+        finally:
+            self._loader.stop()
+
+        self.save_ply(opt.iterations)
+        if self.evaluator is not None:
+            self.evaluator.write_report()
+        elapsed = time.time() - t_start
+        return {
+            "elapsed_s": elapsed,
+            "iters_per_s": opt.iterations / elapsed,
+            "final_loss": losses[-1] if losses else float("nan"),
+            "num_gaussians": int(self.state.splats.n_active),
+        }
+
+    # ------------------------------------------------------------------
+    def save_ply(self, iteration: int) -> Path:
+        """Export checkpoint (reference trainer.cpp:1008-1028 +
+        splat_data.cpp:113-170). Identical on-disk layout to the reference."""
+        out = self.output_dir / f"splat_{iteration}.ply"
+        write_ply(self.state.splats.to_point_cloud(), out)
+        if self.params.optimization.save_sog:
+            from lichtfeld_studio_tpu.io.sog import write_sog
+
+            write_sog(
+                self.state.splats.to_point_cloud(),
+                self.output_dir / f"splat_{iteration}.sog",
+                kmeans_iterations=self.params.optimization.sog_iterations,
+            )
+        return out
