@@ -74,16 +74,20 @@ def adam_step(
         c = state.step_count[k]
         do = jnp.asarray(True) if skip is None or k not in skip else ~skip[k]
         c1 = c + 1  # advances even when skipped (fused_adam.cpp:66-71)
-        m1 = BETA1 * m + (1.0 - BETA1) * g
-        v1 = BETA2 * v + (1.0 - BETA2) * g * g
         t = c1.astype(jnp.float32)
         bc1 = 1.0 - BETA1**t
         bc2 = 1.0 - BETA2**t
         step_size = state.lr[k] * jnp.sqrt(bc2) / bc1
-        upd = p - step_size * m1 / (jnp.sqrt(v1) + EPS)
-        new_params[k] = jnp.where(do, upd, p)
-        new_m[k] = jnp.where(do, m1, m)
-        new_v[k] = jnp.where(do, v1, v)
+
+        # each group may be a single array or a nested pytree (e.g. pose MLP)
+        m1 = jax.tree.map(lambda mm, gg: BETA1 * mm + (1.0 - BETA1) * gg, m, g)
+        v1 = jax.tree.map(lambda vv, gg: BETA2 * vv + (1.0 - BETA2) * gg * gg, v, g)
+        upd = jax.tree.map(
+            lambda pp, mm, vv: pp - step_size * mm / (jnp.sqrt(vv) + EPS), p, m1, v1
+        )
+        new_params[k] = jax.tree.map(lambda a, b: jnp.where(do, a, b), upd, p)
+        new_m[k] = jax.tree.map(lambda a, b: jnp.where(do, a, b), m1, m)
+        new_v[k] = jax.tree.map(lambda a, b: jnp.where(do, a, b), v1, v)
         new_c[k] = c1
     return new_params, AdamState(new_m, new_v, new_c, state.lr)
 

@@ -33,7 +33,7 @@ FAR_PLANE = 1e10
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["depth", "mean2d", "conic", "opacity", "color", "bbox", "n_touched", "valid"],
+    data_fields=["depth", "mean2d", "conic", "opacity", "color", "bbox", "n_touched", "valid", "tile_mask"],
     meta_fields=[],
 )
 @dataclass
@@ -44,8 +44,53 @@ class ProjectedSplats:
     opacity: jax.Array  # [C] activated (sigmoid)
     color: jax.Array  # [C, 3] SH-evaluated RGB (unclamped)
     bbox: jax.Array  # [C, 4] int32 tile bounds (x_min, x_max, y_min, y_max), max exclusive
-    n_touched: jax.Array  # [C] int32 touched-tile upper bound (0 for culled)
+    n_touched: jax.Array  # [C] int32 exact touched-tile count (0 for culled)
     valid: jax.Array  # [C] bool
+    # Bitmask over the first EXACT_TILE_CAP bbox cells (row-major): bit k set
+    # iff the gaussian contributes to that tile. 0 means "no exact mask" —
+    # either culled or bbox larger than the cap (conservative full-bbox).
+    tile_mask: jax.Array  # [C] int32
+
+
+EXACT_TILE_CAP = 32
+
+
+def _will_contribute(mean2d_shifted, conic, tile_x, tile_y, power_threshold, tile_size):
+    """Vectorized port of the exact tile-overlap test
+    (fastgs kernel_utils.cuh:108-143, StopThePop-derived): max of the
+    gaussian's power over the tile rect vs the alpha-threshold power.
+    All args broadcast to [C, K]."""
+    mx = mean2d_shifted[..., 0]
+    my = mean2d_shifted[..., 1]
+    ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
+    rect_min_x = (tile_x * tile_size).astype(jnp.float32)
+    rect_min_y = (tile_y * tile_size).astype(jnp.float32)
+    rect_max_x = rect_min_x + (tile_size - 1)
+    rect_max_y = rect_min_y + (tile_size - 1)
+
+    x_min_diff = rect_min_x - mx
+    x_left = (x_min_diff > 0).astype(jnp.float32)
+    not_in_x = x_left + (mx > rect_max_x).astype(jnp.float32)
+    y_min_diff = rect_min_y - my
+    y_above = (y_min_diff > 0).astype(jnp.float32)
+    not_in_y = y_above + (my > rect_max_y).astype(jnp.float32)
+
+    inside = (not_in_x + not_in_y) == 0.0
+
+    closest_x = rect_max_x + x_left * (rect_min_x - rect_max_x)
+    closest_y = rect_max_y + y_above * (rect_min_y - rect_max_y)
+    diff_x = mx - closest_x
+    diff_y = my - closest_y
+    d_x = jnp.where(x_min_diff > 0, float(tile_size - 1), -float(tile_size - 1))
+    d_y = jnp.where(y_min_diff > 0, float(tile_size - 1), -float(tile_size - 1))
+    t_x = not_in_y * jnp.clip((d_x * ca * diff_x + d_x * cb * diff_y) / (d_x * ca * d_x), 0.0, 1.0)
+    t_y = not_in_x * jnp.clip((d_y * cb * diff_x + d_y * cc * diff_y) / (d_y * cc * d_y), 0.0, 1.0)
+    pt_x = closest_x + t_x * d_x
+    pt_y = closest_y + t_y * d_y
+    dx = mx - pt_x
+    dy = my - pt_y
+    max_power = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    return inside | (max_power <= power_threshold)
 
 
 def project_gaussians(
@@ -142,10 +187,36 @@ def project_gaussians(
     x_max = jnp.clip(jnp.ceil((mean2d[:, 0] + extent_x) / ts).astype(jnp.int32), 0, grid_w)
     y_min = jnp.clip(jnp.floor((mean2d[:, 1] - extent_y) / ts).astype(jnp.int32), 0, grid_h)
     y_max = jnp.clip(jnp.ceil((mean2d[:, 1] + extent_y) / ts).astype(jnp.int32), 0, grid_h)
-    n_touched = (x_max - x_min) * (y_max - y_min)
+    bb_w = x_max - x_min
+    area = bb_w * (y_max - y_min)
+    valid &= area > 0
+    bbox = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
+
+    # --- exact touched-tile count over the first EXACT_TILE_CAP bbox cells
+    # (replaces compute_exact_n_touched_tiles, kernel_utils.cuh:146-196:
+    # the CUDA warp-cooperative loop becomes a [C, 32] vectorized test) ---
+    k = jnp.arange(EXACT_TILE_CAP, dtype=jnp.int32)[None, :]  # [1, K]
+    safe_w = jnp.maximum(bb_w, 1)[:, None]
+    cand_x = x_min[:, None] + k % safe_w
+    cand_y = y_min[:, None] + k // safe_w
+    in_bbox = k < area[:, None]
+    contrib = _will_contribute(
+        (mean2d - 0.5)[:, None, :],
+        conic[:, None, :],
+        cand_x,
+        cand_y,
+        power_threshold[:, None],
+        tile_size,
+    )
+    use_exact = (area <= EXACT_TILE_CAP) & valid
+    # distinct powers of two: summation == bitwise OR (incl. the sign bit)
+    bits = jnp.where(in_bbox & contrib & use_exact[:, None], jnp.int32(1) << k, 0)
+    tile_mask = jnp.sum(bits, axis=1)
+    n_exact = jnp.sum((in_bbox & contrib).astype(jnp.int32), axis=1)
+    n_touched = jnp.where(use_exact, n_exact, area)
     valid &= n_touched > 0
     n_touched = jnp.where(valid, n_touched, 0)
-    bbox = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
+    tile_mask = jnp.where(valid, tile_mask, 0)
 
     # --- SH -> RGB ---
     color = sh_to_color(sh0, shN, means, cam_position, active_sh_degree)
@@ -159,4 +230,5 @@ def project_gaussians(
         bbox=bbox,
         n_touched=n_touched,
         valid=valid,
+        tile_mask=tile_mask,
     )

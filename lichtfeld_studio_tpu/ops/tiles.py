@@ -65,6 +65,22 @@ def _depth_key_bits(depth: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
 
 
+def _select_bit(mask: jax.Array, r: jax.Array) -> jax.Array:
+    """Index of the r-th set bit of each int32 mask (binary search over
+    popcounts, 5 vector passes) — maps an instance's rank to its bbox cell
+    under the exact-contribution bitmask."""
+    k = jnp.zeros_like(r)
+    remaining = r
+    for w in (16, 8, 4, 2, 1):
+        width_mask = jnp.int32((1 << w) - 1)
+        window = (mask >> k) & width_mask
+        cnt = jax.lax.population_count(window)
+        go_right = remaining >= cnt
+        remaining = jnp.where(go_right, remaining - cnt, remaining)
+        k = jnp.where(go_right, k + w, k)
+    return k
+
+
 def _owner_from_offsets(offsets: jax.Array, size: int) -> jax.Array:
     """For each slot in [0, size): index of the last segment whose start
     offset is <= slot (== searchsorted(offsets, slot, 'right') - 1, built
@@ -106,7 +122,7 @@ def build_tile_assignment(
             bbox[:, 2],
             n_touched,
             _depth_key_bits(proj.depth),
-            jnp.zeros_like(n_touched),
+            proj.tile_mask,
             jnp.zeros_like(n_touched),
             jnp.zeros_like(n_touched),
         ],
@@ -115,8 +131,12 @@ def build_tile_assignment(
     pl = payload[g]  # [I, 8]
     inst_valid = (slot < total) & (rank < pl[:, 3])
 
-    t_x = pl[:, 0] + rank % pl[:, 1]
-    t_y = pl[:, 2] + rank // pl[:, 1]
+    # rank -> bbox cell: the rank-th *contributing* cell when the exact
+    # tile_mask is present (mask == 0 means conservative full bbox)
+    mask = pl[:, 5]
+    cell = jnp.where(mask != 0, _select_bit(mask, rank), rank)
+    t_x = pl[:, 0] + cell % pl[:, 1]
+    t_y = pl[:, 2] + cell // pl[:, 1]
     tile = t_y * grid_w + t_x
     tile = jnp.clip(tile, 0, num_tiles - 1)
     tile = jnp.where(inst_valid, tile, num_tiles)  # invalid -> end of sort

@@ -52,11 +52,31 @@ class TrainConfig:
     reset_every: int = 3_000
     pause_refine_after_reset: int = 0
     revised_opacity: bool = False
+    # --- optional training components ---
+    pose_mode: str = "none"  # none | direct | mlp (trainer.cpp:384-386)
+    pose_lr: float = 1e-5
+    pose_mlp_depth: int = 2
+    use_bilateral_grid: bool = False
+    bilateral_lr: float = 2e-3
+    tv_loss_weight: float = 10.0
+    bg_modulation: bool = False  # sinusoidal bg mixing (trainer.cpp:497-577)
+    enable_sparsity: bool = False  # ADMM opacity sparsification phase
+    sparsify_steps: int = 15_000
+    sparsity_rho: float = 5e-4
+    sparsity_prune_ratio: float = 0.6
+
+    @property
+    def base_iterations(self) -> int:
+        """Iterations before the sparsification phase (trainer.cpp:622-646)."""
+        return self.iterations - self.sparsify_steps if self.enable_sparsity else self.iterations
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["splats", "adam", "key", "iteration", "binoms", "densify_count", "densify_grad"],
+    data_fields=[
+        "splats", "adam", "key", "iteration", "binoms", "densify_count",
+        "densify_grad", "aux_params", "aux_adam", "admm_u", "admm_z",
+    ],
     meta_fields=[],
 )
 @dataclass
@@ -70,6 +90,12 @@ class TrainState:
     # splat_data.hpp:97): visible count + pixel-scaled mean2d grad-norm sums
     densify_count: jax.Array  # [C]
     densify_grad: jax.Array  # [C]
+    # auxiliary trainables: {"pose": {...}} and/or {"bilateral": [N,12,L,H,W]}
+    aux_params: dict
+    aux_adam: AdamState
+    # ADMM sparsity duals ([C]; zeros when sparsity disabled)
+    admm_u: jax.Array
+    admm_z: jax.Array
 
 
 def make_lrs(opt_means_lr: float, shs_lr: float, scaling_lr: float,
@@ -86,8 +112,29 @@ def make_lrs(opt_means_lr: float, shs_lr: float, scaling_lr: float,
     }
 
 
-def init_train_state(splats: SplatData, lrs: dict[str, float], seed: int = 0) -> TrainState:
+def init_train_state(
+    splats: SplatData,
+    lrs: dict[str, float],
+    seed: int = 0,
+    cfg: TrainConfig | None = None,
+    num_cameras: int = 0,
+) -> TrainState:
     c = splats.capacity
+    aux_params: dict = {}
+    aux_lrs: dict = {}
+    if cfg is not None and cfg.pose_mode != "none":
+        from lichtfeld_studio_tpu.train.components.poseopt import init_pose_params
+
+        aux_params["pose"] = init_pose_params(
+            cfg.pose_mode, num_cameras, depth=cfg.pose_mlp_depth,
+            key=jax.random.PRNGKey(seed + 7),
+        )
+        aux_lrs["pose"] = cfg.pose_lr
+    if cfg is not None and cfg.use_bilateral_grid:
+        from lichtfeld_studio_tpu.train.components.bilateral_grid import identity_grids
+
+        aux_params["bilateral"] = identity_grids(num_cameras)
+        aux_lrs["bilateral"] = cfg.bilateral_lr
     return TrainState(
         splats=splats,
         adam=init_adam(splats.trainable_dict(), lrs),
@@ -96,6 +143,10 @@ def init_train_state(splats: SplatData, lrs: dict[str, float], seed: int = 0) ->
         binoms=make_binoms(),
         densify_count=jnp.zeros((c,), jnp.float32),
         densify_grad=jnp.zeros((c,), jnp.float32),
+        aux_params=aux_params,
+        aux_adam=init_adam(aux_params, aux_lrs),
+        admm_u=jnp.zeros((c,), jnp.float32),
+        admm_z=jnp.zeros((c,), jnp.float32),
     )
 
 
@@ -111,13 +162,34 @@ def compute_grads(
     between the two halves."""
 
     need_m2d = cfg.strategy == "default"
+    iteration = state.iteration + 1
+
+    # Per-step background (optionally sine-modulated, trainer.cpp:497-577)
+    bg_key = jax.random.fold_in(state.key, 17)
+    if cfg.bg_modulation:
+        from lichtfeld_studio_tpu.train.components.background import background_for_step
+
+        bg_color = background_for_step(bg_color, iteration, bg_key, cfg.iterations, True)
 
     def loss_fn(params):
         m2d_dummy = params.pop("_mean2d", None)
+        aux = params.pop("_aux", {})
+        cam = camera
+        if cfg.pose_mode != "none":
+            from lichtfeld_studio_tpu.train.components.poseopt import apply_pose_opt
+
+            w2c_adj = apply_pose_opt(
+                cfg.pose_mode, aux["pose"], camera.w2c, camera.uid, cfg.pose_mlp_depth
+            )
+            cam_pos = -w2c_adj[:3, :3].T @ w2c_adj[:3, 3]
+            cam = CameraParams(
+                w2c=w2c_adj, cam_position=cam_pos, K=camera.K, uid=camera.uid,
+                width=camera.width, height=camera.height,
+            )
         s = state.splats.replace_trainable(params)
         out = rasterize(
             s,
-            camera,
+            cam,
             bg_color,
             mode=cfg.raster_mode,
             tile_size=cfg.tile_size,
@@ -125,9 +197,30 @@ def compute_grads(
             k_max=cfg.k_max,
             mean2d_offset=m2d_dummy,
         )
-        loss = photometric_loss(out.image, gt_image, cfg.lambda_dssim)
+        image = out.image
+        if cfg.use_bilateral_grid:
+            from lichtfeld_studio_tpu.train.components.bilateral_grid import (
+                apply_bilateral_grid,
+                tv_loss,
+            )
+
+            image = apply_bilateral_grid(aux["bilateral"], image, camera.uid)
+
+        loss = photometric_loss(image, gt_image, cfg.lambda_dssim)
         loss = loss + scale_reg_loss(s, cfg.scale_reg)
         loss = loss + opacity_reg_loss(s, cfg.opacity_reg)
+        if cfg.use_bilateral_grid:
+            loss = loss + cfg.tv_loss_weight * tv_loss(aux["bilateral"])
+        if cfg.enable_sparsity:
+            from lichtfeld_studio_tpu.train.components.sparsity import sparsity_loss
+            from lichtfeld_studio_tpu.train.components.sparsity import ADMMState
+
+            in_phase = iteration > cfg.base_iterations
+            sp = sparsity_loss(
+                params["opacity"], s.active_mask(),
+                ADMMState(u=state.admm_u, z=state.admm_z), cfg.sparsity_rho,
+            )
+            loss = loss + jnp.where(in_phase, sp, 0.0)
         return loss, out
 
     params = dict(state.splats.trainable_dict())
@@ -135,6 +228,8 @@ def compute_grads(
         # zero dummy whose gradient is d(loss)/d(mean2d) — feeds the ADC
         # densification stats (reference kernels_backward.cuh:233-235)
         params["_mean2d"] = jnp.zeros((state.splats.capacity, 2), jnp.float32)
+    if state.aux_params:
+        params["_aux"] = state.aux_params
     (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return loss, out, grads
 
@@ -157,9 +252,22 @@ def apply_update(
     densify_count, densify_grad = state.densify_count, state.densify_grad
     grads = dict(grads)
     dmean2d = grads.pop("_mean2d", None)
+    aux_grads = grads.pop("_aux", {})
+
+    # During the sparsification phase the strategy post_backward is skipped
+    # entirely (trainer.cpp:744-754)
+    in_sparsity_phase = (
+        (iteration > cfg.base_iterations) if cfg.enable_sparsity else jnp.asarray(False)
+    )
+
     if cfg.strategy == "mcmc":
-        splats, adam = mcmc_strategy.post_backward(
-            sub, iteration, splats, adam, state.binoms, cfg.mcmc
+        splats, adam = jax.lax.cond(
+            in_sparsity_phase,
+            lambda o: o,
+            lambda o: mcmc_strategy.post_backward(
+                sub, iteration, o[0], o[1], state.binoms, cfg.mcmc
+            ),
+            (splats, adam),
         )
     elif cfg.strategy == "default":
         from lichtfeld_studio_tpu.train.strategies import adc
@@ -172,11 +280,48 @@ def apply_update(
         densify_count = densify_count + vis
         densify_grad = densify_grad + jnp.where(out.visibility, gnorm, 0.0)
 
-        splats, adam, densify_count, densify_grad = adc.post_backward(
-            sub, iteration, splats, adam, densify_count, densify_grad, cfg
+        splats, adam, densify_count, densify_grad = jax.lax.cond(
+            in_sparsity_phase,
+            lambda o: o,
+            lambda o: adc.post_backward(sub, iteration, o[0], o[1], o[2], o[3], cfg),
+            (splats, adam, densify_count, densify_grad),
         )
     else:
         raise ValueError(f"unknown strategy {cfg.strategy}")
+
+    # --- ADMM dual updates every 50 steps inside the sparsity phase
+    # (sparsity_optimizer.cpp:85-91; trainer.cpp:744-754) ---
+    admm_u, admm_z = state.admm_u, state.admm_z
+    if cfg.enable_sparsity:
+        from lichtfeld_studio_tpu.train.components.sparsity import (
+            ADMMState,
+            UPDATE_EVERY,
+            init_admm,
+            update_admm,
+        )
+
+        active = splats.active_mask()
+
+        def do_init(_):
+            st = init_admm(splats.opacity, active, splats.n_active, cfg.sparsity_prune_ratio)
+            return st.u, st.z
+
+        def do_update(uz):
+            st = update_admm(
+                splats.opacity, active, splats.n_active,
+                ADMMState(u=uz[0], z=uz[1]), cfg.sparsity_prune_ratio,
+            )
+            return st.u, st.z
+
+        admm_u, admm_z = jax.lax.cond(
+            iteration == cfg.base_iterations + 1,
+            do_init,
+            lambda uz: jax.lax.cond(
+                in_sparsity_phase & (iteration % UPDATE_EVERY == 0), do_update,
+                lambda x: x, uz,
+            ),
+            (admm_u, admm_z),
+        )
 
     # --- Adam step on the (possibly relocated) params with this step's grads ---
     params, adam = adam_step(
@@ -189,9 +334,29 @@ def apply_update(
         adam, lr={**adam.lr, "means": adam.lr["means"] * jnp.float32(cfg.lr_gamma)}
     )
 
+    # --- auxiliary params (pose / bilateral grid) with their own Adam ---
+    aux_params, aux_adam = state.aux_params, state.aux_adam
+    if aux_params:
+        if cfg.use_bilateral_grid:
+            from lichtfeld_studio_tpu.train.components.bilateral_grid import (
+                warmup_exponential_lr,
+            )
+
+            aux_adam = replace(
+                aux_adam,
+                lr={
+                    **aux_adam.lr,
+                    "bilateral": warmup_exponential_lr(
+                        cfg.bilateral_lr, iteration, cfg.iterations
+                    ),
+                },
+            )
+        aux_params, aux_adam = adam_step(aux_params, aux_grads, aux_adam)
+
     new_state = TrainState(
         splats=splats, adam=adam, key=key, iteration=iteration, binoms=state.binoms,
         densify_count=densify_count, densify_grad=densify_grad,
+        aux_params=aux_params, aux_adam=aux_adam, admm_u=admm_u, admm_z=admm_z,
     )
     metrics = {
         "loss": loss,

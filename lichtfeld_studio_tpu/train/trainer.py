@@ -96,7 +96,6 @@ class Trainer:
             opt.means_lr, opt.shs_lr, opt.scaling_lr, opt.rotation_lr,
             opt.opacity_lr, splats.scene_scale,
         )
-        state = init_train_state(splats, lrs)
 
         cfg = TrainConfig(
             iterations=opt.iterations,
@@ -125,7 +124,18 @@ class Trainer:
             reset_every=opt.reset_every,
             pause_refine_after_reset=opt.pause_refine_after_reset,
             revised_opacity=opt.revised_opacity,
+            pose_mode=opt.pose_optimization,
+            use_bilateral_grid=opt.use_bilateral_grid,
+            bilateral_lr=opt.bilateral_grid_lr,
+            tv_loss_weight=opt.tv_loss_weight,
+            bg_modulation=opt.bg_modulation,
+            enable_sparsity=opt.enable_sparsity,
+            sparsify_steps=opt.sparsify_steps,
+            sparsity_rho=opt.init_rho,
+            sparsity_prune_ratio=opt.prune_ratio,
         )
+
+        state = init_train_state(splats, lrs, cfg=cfg, num_cameras=len(cameras))
 
         output_dir = Path(ds.output_path or "output")
         output_dir.mkdir(parents=True, exist_ok=True)
@@ -197,6 +207,8 @@ class Trainer:
         finally:
             self._loader.stop()
 
+        if opt.enable_sparsity:
+            self._final_sparsity_prune()
         self.save_ply(opt.iterations)
         if self.evaluator is not None:
             self.evaluator.write_report()
@@ -207,6 +219,29 @@ class Trainer:
             "final_loss": losses[-1] if losses else float("nan"),
             "num_gaussians": int(self.state.splats.n_active),
         }
+
+    # ------------------------------------------------------------------
+    def _final_sparsity_prune(self) -> None:
+        """Prune the lowest-opacity `prune_ratio` fraction after the ADMM
+        phase (reference trainer.cpp final pruning + remove_gaussians)."""
+        import dataclasses
+
+        from lichtfeld_studio_tpu.train.components.sparsity import prune_mask
+        from lichtfeld_studio_tpu.train.strategies import adc
+
+        splats = self.state.splats
+        mask = prune_mask(
+            splats.opacity, splats.active_mask(), splats.n_active,
+            self.cfg.sparsity_prune_ratio,
+        )
+        # reuse the ADC compaction with an opacity override: mark pruned dead
+        dead_op = jnp.where(mask[:, None], -20.0, splats.opacity)
+        splats = splats.replace_trainable({**splats.trainable_dict(), "opacity": dead_op})
+        splats, adam = adc.prune_gs(
+            jnp.asarray(0, jnp.int32), splats, self.state.adam, self.cfg
+        )
+        self.state = dataclasses.replace(self.state, splats=splats, adam=adam)
+        print(f"[sparsity] pruned to {int(splats.n_active)} gaussians", flush=True)
 
     # ------------------------------------------------------------------
     def save_ply(self, iteration: int) -> Path:
