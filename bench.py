@@ -25,7 +25,17 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
+
+    # big-program XLA compiles take minutes on small hosts; cache them
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpu_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     import dataclasses
