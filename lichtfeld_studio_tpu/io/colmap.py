@@ -99,6 +99,13 @@ def _read_images_bin(path: Path) -> list[dict]:
 def _read_points3d_bin(path: Path) -> PointCloud:
     with open(path, "rb") as f:
         data = f.read()
+    # native fast path (millions of variable-length records)
+    from lichtfeld_studio_tpu.io import native
+
+    parsed = native.parse_points3d_bin(data)
+    if parsed is not None:
+        return PointCloud(means=parsed[0], colors=parsed[1])
+
     (n,) = struct.unpack_from("<Q", data, 0)
     means = np.empty((n, 3), np.float32)
     colors = np.empty((n, 3), np.float32)
