@@ -29,8 +29,8 @@ class CameraModelType:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["w2c", "cam_position", "K", "uid"],
-    meta_fields=["width", "height"],
+    data_fields=["w2c", "cam_position", "K", "uid", "radial", "tangential"],
+    meta_fields=["width", "height", "camera_model"],
 )
 @dataclass
 class CameraParams:
@@ -42,6 +42,9 @@ class CameraParams:
     uid: jax.Array  # [] int32 (for pose-opt / bilateral grid indexing)
     width: int
     height: int
+    camera_model: int = CameraModelType.PINHOLE
+    radial: jax.Array | None = None  # distortion coeffs (static shape per cam)
+    tangential: jax.Array | None = None
 
 
 @dataclass
@@ -110,6 +113,13 @@ class Camera:
             uid=jnp.asarray(self.uid, jnp.int32),
             width=self.width,
             height=self.height,
+            camera_model=self.camera_model,
+            radial=jnp.asarray(self.radial_distortion, jnp.float32)
+            if self.radial_distortion.size
+            else None,
+            tangential=jnp.asarray(self.tangential_distortion, jnp.float32)
+            if self.tangential_distortion.size
+            else None,
         )
 
     def load_image(self, cache: bool = False) -> np.ndarray:

@@ -64,31 +64,65 @@ def rasterize(
     k_max: int = 1024,
     with_depth: bool = False,
     mean2d_offset: jax.Array | None = None,
+    projection: str = "auto",  # auto | ewa | ut
 ) -> RenderOutput:
     """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
     the trainer can read d(loss)/d(mean2d) for ADC densification — the
     functional replacement for the reference's densification_info
-    accumulation inside preprocess_backward (kernels_backward.cuh:233-235)."""
+    accumulation inside preprocess_backward (kernels_backward.cuh:233-235).
+
+    `projection`: "ewa" is the fastgs frustum-clamped EWA path; "ut" the
+    3DGUT unscented-transform path (required for distorted/fisheye/ortho
+    cameras); "auto" picks UT whenever the camera is not a perfect pinhole
+    (matching trainer.cpp:654-659 fast_rasterize-vs-rasterize dispatch)."""
     width, height = camera.width, camera.height
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
 
-    proj = project_gaussians(
-        splats.means,
-        splats.scaling,
-        splats.rotation,
-        splats.opacity,
-        splats.sh0,
-        splats.shN,
-        splats.active_mask(),
-        splats.active_sh_degree,
-        camera.w2c,
-        camera.cam_position,
-        camera.K,
-        width=width,
-        height=height,
-        tile_size=tile_size,
-    )
+    from lichtfeld_studio_tpu.core.camera import CameraModelType
+
+    if projection == "auto":
+        projection = "ewa" if camera.camera_model == CameraModelType.PINHOLE else "ut"
+
+    if projection == "ut":
+        from lichtfeld_studio_tpu.ops.ut_projection import project_gaussians_ut
+
+        proj = project_gaussians_ut(
+            splats.means,
+            splats.scaling,
+            splats.rotation,
+            splats.opacity,
+            splats.sh0,
+            splats.shN,
+            splats.active_mask(),
+            splats.active_sh_degree,
+            camera.w2c,
+            camera.cam_position,
+            camera.K,
+            width=width,
+            height=height,
+            tile_size=tile_size,
+            camera_model=camera.camera_model,
+            radial=camera.radial,
+            tangential=camera.tangential,
+        )
+    else:
+        proj = project_gaussians(
+            splats.means,
+            splats.scaling,
+            splats.rotation,
+            splats.opacity,
+            splats.sh0,
+            splats.shN,
+            splats.active_mask(),
+            splats.active_sh_degree,
+            camera.w2c,
+            camera.cam_position,
+            camera.K,
+            width=width,
+            height=height,
+            tile_size=tile_size,
+        )
     if mean2d_offset is not None:
         import dataclasses
 
@@ -110,7 +144,7 @@ def rasterize(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
                 chunk_align=CHUNK,
             )
-            feat = gather_instance_features(pack_features(proj, with_depth), assignment)
+            feat = gather_instance_features(pack_features(proj, with_depth), assignment, proj.n_touched)
             image4, alpha = blend_pallas(
                 feat,
                 assignment.tile_start,
@@ -124,7 +158,7 @@ def rasterize(
             assignment = build_tile_assignment(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap
             )
-            feat = gather_instance_features(pack_features(proj, with_depth), assignment)
+            feat = gather_instance_features(pack_features(proj, with_depth), assignment, proj.n_touched)
             image4, alpha = blend_tiles(
                 feat,
                 assignment,

@@ -45,17 +45,19 @@ from lichtfeld_studio_tpu.ops.projection import ProjectedSplats
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gaussian_idx", "tile_start", "tile_count", "n_instances", "instance_valid"],
-    meta_fields=["chunk"],
+    data_fields=["gaussian_idx", "pre_slot", "tile_start", "tile_count", "n_instances", "instance_valid"],
+    meta_fields=["chunk", "source_cap"],
 )
 @dataclass
 class TileAssignment:
     gaussian_idx: jax.Array  # [I] int32 — owning gaussian per laid-out instance
+    pre_slot: jax.Array  # [I] int32 — pre-sort expansion slot (source_cap = invalid)
     tile_start: jax.Array  # [T] int32 — first instance index per tile
     tile_count: jax.Array  # [T] int32 — real instances per tile
     n_instances: jax.Array  # [] int32 — true instance total (may exceed I)
     instance_valid: jax.Array  # [I] bool
     chunk: int = 1  # alignment of tile_start (1 = compact layout)
+    source_cap: int = 0  # pre-sort expansion buffer size (= instance_cap)
 
 
 def _depth_key_bits(depth: jax.Array) -> jax.Array:
@@ -141,11 +143,13 @@ def build_tile_assignment(
     tile = jnp.clip(tile, 0, num_tiles - 1)
     tile = jnp.where(inst_valid, tile, num_tiles)  # invalid -> end of sort
 
-    # --- lexicographic (tile, depth) sort ---
-    tile_sorted, _, g_sorted = jax.lax.sort(
-        (tile, pl[:, 4], g), dimension=0, num_keys=2
+    # --- lexicographic (tile, depth) sort, carrying the pre-sort slot so the
+    # gradient path can invert the layout (see gather_instance_features) ---
+    tile_sorted, _, slot_sorted = jax.lax.sort(
+        (tile, pl[:, 4], slot), dimension=0, num_keys=2
     )
     valid_sorted = tile_sorted < num_tiles
+    g_sorted = jnp.where(valid_sorted, g[slot_sorted], 0)
 
     # --- per-tile counts / compact starts (segment_sum, not searchsorted) ---
     counts = jax.ops.segment_sum(
@@ -156,14 +160,17 @@ def build_tile_assignment(
     if chunk_align <= 1:
         return TileAssignment(
             gaussian_idx=g_sorted,
+            pre_slot=jnp.where(valid_sorted, slot_sorted, instance_cap),
             tile_start=start_compact,
             tile_count=counts,
             n_instances=total,
             instance_valid=valid_sorted,
             chunk=1,
+            source_cap=instance_cap,
         )
 
-    # --- CHUNK-aligned relayout by scattering sorted instances ---
+    # --- CHUNK-aligned relayout: ONE permutation scatter of the pre-sort
+    # slot index; everything else derives by gathers ---
     padded_counts = -(-counts // chunk_align) * chunk_align
     new_start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
     i_pad = instance_cap + num_tiles * chunk_align  # static worst case
@@ -174,19 +181,22 @@ def build_tile_assignment(
         j - start_compact[jnp.minimum(tile_sorted, num_tiles - 1)]
     )
     pos = jnp.where(valid_sorted, pos, i_pad)  # dropped by scatter
-    g_pad = (
-        jnp.zeros((i_pad,), jnp.int32).at[pos].set(g_sorted, mode="drop")
+    slot_pad = (
+        jnp.full((i_pad,), instance_cap, jnp.int32)
+        .at[pos]
+        .set(slot_sorted, mode="drop", unique_indices=True)
     )
-    valid_pad = (
-        jnp.zeros((i_pad,), jnp.bool_).at[pos].set(valid_sorted, mode="drop")
-    )
+    valid_pad = slot_pad < instance_cap
+    g_pad = jnp.where(valid_pad, g[jnp.minimum(slot_pad, instance_cap - 1)], 0)
     return TileAssignment(
         gaussian_idx=g_pad,
+        pre_slot=slot_pad,
         tile_start=new_start,
         tile_count=counts,
         n_instances=total,
         instance_valid=valid_pad,
         chunk=chunk_align,
+        source_cap=instance_cap,
     )
 
 
@@ -220,14 +230,65 @@ def pack_features(proj: ProjectedSplats, with_depth: bool = False) -> jax.Array:
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_feat(source_cap, packed, g_pad, pre_slot, valid, n_touched):
+    feat = packed[g_pad]
+    return jnp.where(valid[:, None], feat, 0.0)
+
+
+def _gather_feat_fwd(source_cap, packed, g_pad, pre_slot, valid, n_touched):
+    out = _gather_feat(source_cap, packed, g_pad, pre_slot, valid, n_touched)
+    return out, (packed.shape, pre_slot, valid, n_touched)
+
+
+def _gather_feat_bwd(source_cap, res, dfeat):
+    """The reference backward accumulates per-gaussian gradients with warp
+    atomics (kernels_backward.cuh); XLA's generic transpose would be a random
+    scatter-add (~520 ms at 4M instances on v5e). Instead we exploit that in
+    PRE-SORT expansion order every gaussian's instances are contiguous:
+
+      1. permutation-scatter the cotangents back to pre-sort slots
+         (unique indices -> embarrassingly parallel),
+      2. inclusive prefix sum along the instance axis,
+      3. per-gaussian segment sums as prefix differences at the expansion
+         offsets.
+
+    f32 prefix-difference precision note: gradient prefix sums are signed
+    random walks, so |S| stays ~sqrt(I)-scale and the difference error is
+    O(eps * |S|) ~ 1e-6 relative — far below gradient noise."""
+    packed_shape, pre_slot, valid, n_touched = res
+    f = dfeat.shape[-1]
+    dmask = jnp.where(valid[:, None], dfeat, 0.0)
+    d_pre = (
+        jnp.zeros((source_cap, f), dfeat.dtype)
+        .at[pre_slot]
+        .set(dmask, mode="drop", unique_indices=True)
+    )
+    s = jnp.cumsum(d_pre, axis=0)
+    s0 = jnp.concatenate([jnp.zeros((1, f), dfeat.dtype), s], axis=0)
+    off = jnp.cumsum(n_touched) - n_touched
+    end = jnp.minimum(off + n_touched, source_cap)
+    off = jnp.minimum(off, source_cap)
+    dpacked = s0[end] - s0[off]
+    return (dpacked, None, None, None, None)
+
+
+_gather_feat.defvjp(_gather_feat_fwd, _gather_feat_bwd)
+
+
 def gather_instance_features(
-    packed: jax.Array, assignment: TileAssignment
+    packed: jax.Array, assignment: TileAssignment, n_touched: jax.Array
 ) -> jax.Array:
     """One differentiable row gather [I, 16] of the packed per-gaussian
-    features into instance layout. Its transpose is the scatter-add that
-    replaces the reference backward's atomics (kernels_backward.cuh) with an
-    XLA segment-sum. Rows are select-masked by validity so uninitialized
-    cotangents at slack slots can never reach the gaussian gradients
-    (select, not multiply: NaN-safe)."""
-    feat = packed[assignment.gaussian_idx]  # [I, 16]
-    return jnp.where(assignment.instance_valid[:, None], feat, 0.0)
+    features into instance layout, with a custom VJP that turns the gradient
+    scatter-add into permutation-scatter + segmented prefix sums (see
+    _gather_feat_bwd). Rows are select-masked by validity so uninitialized
+    cotangents at slack slots can never reach the gaussian gradients."""
+    return _gather_feat(
+        assignment.source_cap,
+        packed,
+        assignment.gaussian_idx,
+        assignment.pre_slot,
+        assignment.instance_valid,
+        n_touched,
+    )
