@@ -45,13 +45,17 @@ from lichtfeld_studio_tpu.ops.projection import ProjectedSplats
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gaussian_idx", "pre_slot", "tile_start", "tile_count", "n_instances", "instance_valid"],
+    data_fields=["gaussian_idx", "pre_slot", "layout_pos", "tile_start", "tile_count", "n_instances", "instance_valid"],
     meta_fields=["chunk", "source_cap"],
 )
 @dataclass
 class TileAssignment:
     gaussian_idx: jax.Array  # [I] int32 — owning gaussian per laid-out instance
     pre_slot: jax.Array  # [I] int32 — pre-sort expansion slot (source_cap = invalid)
+    layout_pos: jax.Array  # [source_cap] int32 — layout position of each
+    #   pre-sort slot (>= len(gaussian_idx) when dropped); the gradient path's
+    #   permutation inverse, built with a sort (scatters are ~10x slower than
+    #   sorts on TPU)
     tile_start: jax.Array  # [T] int32 — first instance index per tile
     tile_count: jax.Array  # [T] int32 — real instances per tile
     n_instances: jax.Array  # [] int32 — true instance total (may exceed I)
@@ -158,9 +162,13 @@ def build_tile_assignment(
     start_compact = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     if chunk_align <= 1:
+        j_idx = jnp.arange(instance_cap, dtype=jnp.int32)
+        pos_compact = jnp.where(valid_sorted, j_idx, instance_cap)
+        _, layout_pos = jax.lax.sort_key_val(slot_sorted, pos_compact)
         return TileAssignment(
             gaussian_idx=g_sorted,
             pre_slot=jnp.where(valid_sorted, slot_sorted, instance_cap),
+            layout_pos=layout_pos,
             tile_start=start_compact,
             tile_count=counts,
             n_instances=total,
@@ -184,13 +192,17 @@ def build_tile_assignment(
     slot_pad = (
         jnp.full((i_pad,), instance_cap, jnp.int32)
         .at[pos]
-        .set(slot_sorted, mode="drop", unique_indices=True)
+        .set(slot_sorted, mode="drop", unique_indices=True, indices_are_sorted=True)
     )
     valid_pad = slot_pad < instance_cap
     g_pad = jnp.where(valid_pad, g[jnp.minimum(slot_pad, instance_cap - 1)], 0)
+    # permutation inverse for the gradient path: slot_sorted is a permutation
+    # of [0, instance_cap), so sorting it carries `pos` to pre-slot order
+    _, layout_pos = jax.lax.sort_key_val(slot_sorted, pos)
     return TileAssignment(
         gaussian_idx=g_pad,
         pre_slot=slot_pad,
+        layout_pos=layout_pos,
         tile_start=new_start,
         tile_count=counts,
         n_instances=total,
@@ -231,39 +243,39 @@ def pack_features(proj: ProjectedSplats, with_depth: bool = False) -> jax.Array:
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_feat(source_cap, packed, g_pad, pre_slot, valid, n_touched):
+def _gather_feat(source_cap, packed, g_pad, layout_pos, valid, n_touched):
     feat = packed[g_pad]
     return jnp.where(valid[:, None], feat, 0.0)
 
 
-def _gather_feat_fwd(source_cap, packed, g_pad, pre_slot, valid, n_touched):
-    out = _gather_feat(source_cap, packed, g_pad, pre_slot, valid, n_touched)
-    return out, (packed.shape, pre_slot, valid, n_touched)
+def _gather_feat_fwd(source_cap, packed, g_pad, layout_pos, valid, n_touched):
+    out = _gather_feat(source_cap, packed, g_pad, layout_pos, valid, n_touched)
+    return out, (layout_pos, n_touched)
 
 
 def _gather_feat_bwd(source_cap, res, dfeat):
     """The reference backward accumulates per-gaussian gradients with warp
     atomics (kernels_backward.cuh); XLA's generic transpose would be a random
-    scatter-add (~520 ms at 4M instances on v5e). Instead we exploit that in
+    scatter-add (~600 ms at 4M instances on v5e — TPU scatters run ~10x
+    slower than gathers/sorts). Scatter-free alternative exploiting that in
     PRE-SORT expansion order every gaussian's instances are contiguous:
 
-      1. permutation-scatter the cotangents back to pre-sort slots
-         (unique indices -> embarrassingly parallel),
+      1. gather the cotangent rows back to pre-sort order through
+         `layout_pos` (the sort-inverted layout permutation),
       2. inclusive prefix sum along the instance axis,
       3. per-gaussian segment sums as prefix differences at the expansion
          offsets.
 
     f32 prefix-difference precision note: gradient prefix sums are signed
     random walks, so |S| stays ~sqrt(I)-scale and the difference error is
-    O(eps * |S|) ~ 1e-6 relative — far below gradient noise."""
-    packed_shape, pre_slot, valid, n_touched = res
+    O(eps * |S|) — far below gradient noise."""
+    layout_pos, n_touched = res
     f = dfeat.shape[-1]
-    dmask = jnp.where(valid[:, None], dfeat, 0.0)
-    d_pre = (
-        jnp.zeros((source_cap, f), dfeat.dtype)
-        .at[pre_slot]
-        .set(dmask, mode="drop", unique_indices=True)
-    )
+    i_layout = dfeat.shape[0]
+    live = layout_pos < i_layout
+    d_pre = jnp.where(
+        live[:, None], dfeat[jnp.minimum(layout_pos, i_layout - 1)], 0.0
+    )  # [source_cap, F] — dropped/slack slots contribute zero (select: NaN-safe)
     s = jnp.cumsum(d_pre, axis=0)
     s0 = jnp.concatenate([jnp.zeros((1, f), dfeat.dtype), s], axis=0)
     off = jnp.cumsum(n_touched) - n_touched
@@ -281,14 +293,15 @@ def gather_instance_features(
 ) -> jax.Array:
     """One differentiable row gather [I, 16] of the packed per-gaussian
     features into instance layout, with a custom VJP that turns the gradient
-    scatter-add into permutation-scatter + segmented prefix sums (see
-    _gather_feat_bwd). Rows are select-masked by validity so uninitialized
-    cotangents at slack slots can never reach the gaussian gradients."""
+    scatter-add into an inverse-permutation gather + segmented prefix sums
+    (see _gather_feat_bwd). Rows are select-masked by validity so
+    uninitialized cotangents at slack slots can never reach the gaussian
+    gradients."""
     return _gather_feat(
         assignment.source_cap,
         packed,
         assignment.gaussian_idx,
-        assignment.pre_slot,
+        assignment.layout_pos,
         assignment.instance_valid,
         n_touched,
     )
