@@ -82,9 +82,18 @@ class Trainer:
                 init_scaling=opt.init_scaling,
             )
         else:
+            means = pcd.means
+            colors = pcd.colors if pcd.colors is not None else np.full_like(means, 127.0)
+            if means.shape[0] > capacity:
+                # static capacity: subsample the SfM cloud (reference has no
+                # cap; growth headroom matters more than extra seeds)
+                sel = np.random.default_rng(0).choice(
+                    means.shape[0], capacity // 2, replace=False
+                )
+                means, colors = means[sel], colors[sel]
             splats = SplatData.from_point_cloud(
-                pcd.means,
-                (pcd.colors if pcd.colors is not None else np.full_like(pcd.means, 127.0)) / 255.0,
+                means,
+                colors / 255.0,
                 scene_center,
                 capacity=capacity,
                 max_sh_degree=opt.sh_degree,
@@ -173,6 +182,20 @@ class Trainer:
         eval_steps = set(opt.eval_steps) if opt.enable_eval else set()
         save_steps = set(opt.save_steps) if not opt.skip_intermediate_saving else set()
 
+        # timelapse camera set (reference trainer.cpp:812-846)
+        timelapse_cams = [
+            c for c in self.train_set.cameras
+            if c.image_name in set(self.params.dataset.timelapse_images)
+        ]
+        timelapse_every = self.params.dataset.timelapse_every
+
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=opt.iterations, desc="train", unit="it", smoothing=0.05)
+        except ImportError:
+            pbar = None
+
         pending_loss = None
         t_start = time.time()
         losses = []
@@ -189,11 +212,20 @@ class Trainer:
                     losses.append(float(pending_loss))
                 pending_loss = metrics["loss"]
 
+                if pbar is not None:
+                    pbar.update(1)
+                    if it % 20 == 0:
+                        pbar.set_postfix(
+                            loss=f"{losses[-1]:.4f}" if losses else "-",
+                            gaussians=int(self.state.splats.n_active),
+                        )
                 if self.progress_callback and it % 10 == 0:
                     self.progress_callback(
                         it, losses[-1] if losses else float("nan"),
                         int(self.state.splats.n_active),
                     )
+                if timelapse_cams and it % timelapse_every == 0:
+                    self._save_timelapse(timelapse_cams, it)
                 if it in eval_steps and self.evaluator is not None:
                     m = self.evaluator.evaluate(self.state.splats, it)
                     print(
@@ -206,6 +238,8 @@ class Trainer:
             losses.append(float(pending_loss))
         finally:
             self._loader.stop()
+            if pbar is not None:
+                pbar.close()
 
         if opt.enable_sparsity:
             self._final_sparsity_prune()
@@ -219,6 +253,24 @@ class Trainer:
             "final_loss": losses[-1] if losses else float("nan"),
             "num_gaussians": int(self.state.splats.n_active),
         }
+
+    # ------------------------------------------------------------------
+    def _save_timelapse(self, cams, iteration: int) -> None:
+        """Render named cameras every N iters (reference trainer.cpp:812-846)."""
+        import numpy as np
+
+        from lichtfeld_studio_tpu.io.image import save_image
+        from lichtfeld_studio_tpu.ops.rasterize import rasterize
+
+        for cam in cams:
+            out = rasterize(
+                self.state.splats, cam.device_params(), jnp.zeros(3),
+                mode=self.cfg.raster_mode, instance_cap=self.cfg.instance_cap,
+                k_max=self.cfg.k_max,
+            )
+            d = self.output_dir / "timelapse" / Path(cam.image_name).stem
+            d.mkdir(parents=True, exist_ok=True)
+            save_image(str(d / f"{iteration:06d}.png"), np.clip(np.asarray(out.image), 0, 1))
 
     # ------------------------------------------------------------------
     def _final_sparsity_prune(self) -> None:
