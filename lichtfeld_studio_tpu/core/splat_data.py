@@ -265,6 +265,66 @@ class SplatData:
         )
         return pc
 
+    def crop_by_bbox(self, bbox) -> "SplatData":
+        """Keep only gaussians inside the box (reference
+        SplatData::crop_by_cropbox, splat_data.cpp:616+). Host-side; returns a
+        compacted SplatData with the same capacity."""
+        import numpy as np
+
+        n = int(self.n_active)
+        means = np.asarray(self.means[:n])
+        keep = bbox.contains(means)
+        idx = np.nonzero(keep)[0]
+        return SplatData.from_arrays(
+            means[idx],
+            np.asarray(self.sh0[:n])[idx],
+            np.asarray(self.shN[:n])[idx],
+            np.asarray(self.scaling[:n])[idx],
+            np.asarray(self.rotation[:n])[idx],
+            np.asarray(self.opacity[:n])[idx],
+            capacity=self.capacity,
+            max_sh_degree=self.max_sh_degree,
+            scene_scale=self.scene_scale,
+        )
+
+    def transformed(self, transform) -> "SplatData":
+        """Apply an SE(3) EuclideanTransform to the model (reference
+        SplatData::transform): rotates means and composes quaternions."""
+        import numpy as np
+
+        from lichtfeld_studio_tpu.core.geometry import _rotmat_to_quat_np
+
+        n = int(self.n_active)
+        r = transform.rotation.astype(np.float32)
+        t = transform.translation.astype(np.float32)
+        means = np.asarray(self.means[:n]) @ r.T + t
+        # q_new = q_transform * q_old (hamilton product, wxyz)
+        q_t = transform.quat / np.linalg.norm(transform.quat)
+        q = np.asarray(self.rotation[:n])
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        w1, x1, y1, z1 = q_t
+        w2, x2, y2, z2 = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+        q_new = np.stack(
+            [
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        return SplatData.from_arrays(
+            means,
+            np.asarray(self.sh0[:n]),
+            np.asarray(self.shN[:n]),
+            np.asarray(self.scaling[:n]),
+            q_new,
+            np.asarray(self.opacity[:n]),
+            capacity=self.capacity,
+            max_sh_degree=self.max_sh_degree,
+            scene_scale=self.scene_scale,
+        )
+
     def get_attribute_names(self) -> list[str]:
         """PLY attribute order (reference splat_data.cpp:402-418)."""
         names = ["x", "y", "z", "nx", "ny", "nz"]

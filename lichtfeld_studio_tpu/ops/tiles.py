@@ -16,9 +16,10 @@ built only from TPU-fast primitives (profiled on v5e):
    (ones scattered at segment starts, cumsum-1 gives the owner). This
    replaces a vectorized binary search: jnp.searchsorted costs ~600 ms at 4M
    instances on v5e while scatter+cumsum is ~50 ms.
-3. All per-gaussian lookups ride ONE packed [N, 8]-int32 row gather
-   (bbox, n_touched, depth bits) — row gathers amortize far better than
-   repeated scalar gathers.
+3. All per-gaussian lookups ride ONE bit-packed [N, 4]-int32 row gather
+   (bbox, n_touched, depth bits, exact-contribution mask) — row gathers
+   amortize far better than repeated scalar gathers, and gather cost scales
+   with row bytes.
 4. ONE lexicographic two-key sort (tile_id, depth_bits) — both int32 —
    replaces the reference's dual radix sort: positive-float depth bits are
    monotonic as int32, so the single pass depth-orders instances within each
@@ -119,30 +120,35 @@ def build_tile_assignment(
     g = _owner_from_offsets(offsets, instance_cap)
     rank = slot - offsets[g]
 
-    # --- packed per-gaussian int payload, one row gather ---
+    # --- packed per-gaussian int payload, ONE row gather; bit-packed to 4
+    # words (gather cost scales with row bytes):
+    #   w0 = x_min | y_min << 16
+    #   w1 = bbox_width | n_touched << 10   (grids <= 1024 tiles wide)
+    #   w2 = depth key bits, w3 = exact-contribution tile mask ---
     bbox = proj.bbox  # [C, 4] (x_min, x_max, y_min, y_max)
+    bb_w = jnp.maximum(bbox[:, 1] - bbox[:, 0], 1)
     payload = jnp.stack(
         [
-            bbox[:, 0],
-            jnp.maximum(bbox[:, 1] - bbox[:, 0], 1),  # bbox width
-            bbox[:, 2],
-            n_touched,
+            bbox[:, 0] | (bbox[:, 2] << 16),
+            bb_w | (n_touched << 10),
             _depth_key_bits(proj.depth),
             proj.tile_mask,
-            jnp.zeros_like(n_touched),
-            jnp.zeros_like(n_touched),
         ],
         axis=-1,
-    )  # [C, 8] int32
-    pl = payload[g]  # [I, 8]
-    inst_valid = (slot < total) & (rank < pl[:, 3])
+    )  # [C, 4] int32
+    pl = payload[g]  # [I, 4]
+    x_min_i = pl[:, 0] & 0xFFFF
+    y_min_i = (pl[:, 0] >> 16) & 0xFFFF
+    bb_w_i = pl[:, 1] & 0x3FF
+    nt_i = pl[:, 1] >> 10
+    inst_valid = (slot < total) & (rank < nt_i)
 
     # rank -> bbox cell: the rank-th *contributing* cell when the exact
     # tile_mask is present (mask == 0 means conservative full bbox)
-    mask = pl[:, 5]
+    mask = pl[:, 3]
     cell = jnp.where(mask != 0, _select_bit(mask, rank), rank)
-    t_x = pl[:, 0] + cell % pl[:, 1]
-    t_y = pl[:, 2] + cell // pl[:, 1]
+    t_x = x_min_i + cell % bb_w_i
+    t_y = y_min_i + cell // bb_w_i
     tile = t_y * grid_w + t_x
     tile = jnp.clip(tile, 0, num_tiles - 1)
     tile = jnp.where(inst_valid, tile, num_tiles)  # invalid -> end of sort
@@ -150,7 +156,7 @@ def build_tile_assignment(
     # --- lexicographic (tile, depth) sort, carrying the pre-sort slot so the
     # gradient path can invert the layout (see gather_instance_features) ---
     tile_sorted, _, slot_sorted = jax.lax.sort(
-        (tile, pl[:, 4], slot), dimension=0, num_keys=2
+        (tile, pl[:, 2], slot), dimension=0, num_keys=2
     )
     valid_sorted = tile_sorted < num_tiles
     g_sorted = jnp.where(valid_sorted, g[slot_sorted], 0)

@@ -43,7 +43,11 @@ def render_view(
 
 
 def splats_from_ply(path: str | Path, capacity: int | None = None) -> SplatData:
-    pc = read_ply(path)
+    """Load a splat from .ply or .sog (reference loader facade detection,
+    src/loader/loader.cpp:19-80)."""
+    from lichtfeld_studio_tpu.io.sog import is_sog, read_sog
+
+    pc = read_sog(path) if is_sog(path) else read_ply(path)
     return SplatData.from_arrays(
         pc.means, pc.sh0, pc.shN, pc.scaling, pc.rotation, pc.opacity,
         capacity=capacity,
