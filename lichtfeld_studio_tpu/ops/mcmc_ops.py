@@ -81,9 +81,9 @@ def add_noise(
     noise = jax.random.normal(key, (c, 3), dtype=means.dtype)
     rot = quat_to_rotmat(quats)
     var = jnp.exp(2.0 * log_scales)
-    m = rot * var[:, None, :]
-    cov = jnp.einsum("cik,cjk->cij", m, rot, precision=jax.lax.Precision.HIGHEST)
-    transformed = jnp.sum(cov * noise[:, None, :], axis=-1)  # [C, 3]
+    # cov @ n = R @ (var * (R^T @ n)) — two matvecs, no [C,3,3] cov tensor
+    t = jnp.sum(rot * noise[:, :, None], axis=1)  # R^T @ n
+    transformed = jnp.sum(rot * (var * t)[:, None, :], axis=2)  # [C, 3]
     op = jax.nn.sigmoid(logit_opacities)
     gate = jax.nn.sigmoid(-(100.0 * op - 0.5))
     factor = jnp.where(active, current_lr * gate, 0.0)

@@ -50,12 +50,14 @@ class MCMCConfig:
 
 
 def _sample_multinomial(key: jax.Array, probs: jax.Array, num: int) -> jax.Array:
-    """`num` samples (with replacement) ~ probs via inverse-CDF binary search.
-    probs need not be normalized; zero-prob entries are never chosen."""
+    """`num` samples (with replacement) ~ probs via inverse-CDF search.
+    probs need not be normalized; zero-prob entries are never chosen.
+    method='sort' turns the binary search into a merge-by-sort — sorts are
+    ~10x faster than vectorized binary search on TPU."""
     cdf = jnp.cumsum(probs)
     total = cdf[-1]
     u = jax.random.uniform(key, (num,)) * total
-    idx = jnp.searchsorted(cdf, u, side="right")
+    idx = jnp.searchsorted(cdf, u, side="right", method="sort")
     return jnp.clip(idx, 0, probs.shape[0] - 1).astype(jnp.int32)
 
 
