@@ -56,7 +56,10 @@ def main():
     W, H = 1296, 840
     CAP = 1_000_000
     N0 = 600_000
-    ICAP = 2**22
+    # Instance-buffer capacity: this scene peaks at ~2.15M exact-counted
+    # instances; every binning/gather/blend cost scales with the static cap,
+    # so size it with ~15% headroom (overflow is detected and reported).
+    ICAP = 2_500_000
 
     rng = np.random.default_rng(0)
     pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
