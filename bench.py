@@ -95,24 +95,39 @@ def main():
     lrs = make_lrs(1.6e-5, 2.5e-3, 5e-3, 1e-3, 0.05, splats.scene_scale)
     state = init_train_state(splats, lrs, seed=0)
 
-    t0 = time.time()
-    state, metrics = train_step(state, cam, gt, bg, cfg)
-    loss0 = float(metrics["loss"])  # forces completion
-    log(f"compile+first step: {time.time()-t0:.1f}s, loss={loss0:.4f}, "
-        f"instances={int(metrics['n_instances'])}")
+    # production configuration: K steps per dispatch via lax.scan
+    # (train_steps_scanned — amortizes the remote dispatch round trip)
+    from lichtfeld_studio_tpu.core.camera import CameraParams
+    from lichtfeld_studio_tpu.train.state import train_steps_scanned
 
-    warmup, iters = 3, 20
-    for _ in range(warmup):
-        state, metrics = train_step(state, cam, gt, bg, cfg)
-    _ = float(metrics["loss"])
+    K_SCAN = 10
+    stacked_cam = CameraParams(
+        w2c=jnp.tile(cam.w2c[None], (K_SCAN, 1, 1)),
+        cam_position=jnp.tile(cam.cam_position[None], (K_SCAN, 1)),
+        K=jnp.tile(cam.K[None], (K_SCAN, 1)),
+        uid=jnp.zeros((K_SCAN,), jnp.int32),
+        width=W, height=H,
+    )
+    gts = jnp.tile(gt[None], (K_SCAN, 1, 1, 1))
+
     t0 = time.time()
-    for _ in range(iters):
-        state, metrics = train_step(state, cam, gt, bg, cfg)
-    _ = float(metrics["loss"])
+    state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+    loss0 = float(metrics["loss"][-1])  # forces completion
+    log(f"compile+first dispatch ({K_SCAN} steps): {time.time()-t0:.1f}s, "
+        f"loss={loss0:.4f}, instances={int(metrics['n_instances'][-1])}")
+
+    warmup, dispatches = 1, 3
+    for _ in range(warmup):
+        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+    _ = float(metrics["loss"][-1])
+    t0 = time.time()
+    for _ in range(dispatches):
+        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+    _ = float(metrics["loss"][-1])
     dt = time.time() - t0
-    its = iters / dt
-    log(f"{iters} steps in {dt:.2f}s -> {its:.2f} it/s "
-        f"(n_active={int(metrics['n_active'])})")
+    its = dispatches * K_SCAN / dt
+    log(f"{dispatches * K_SCAN} steps in {dt:.2f}s -> {its:.2f} it/s "
+        f"(n_active={int(metrics['n_active'][-1])})")
 
     print(json.dumps({
         "metric": "mcmc_train_step_throughput_1Mcap_1296x840",

@@ -97,6 +97,9 @@ class OptimizationParameters:
     instance_cap: int = 2**22
     # Tile edge in pixels (16x16 tiles, like the reference rasterizer).
     tile_size: int = 16
+    # Train steps fused into one device dispatch (lax.scan) between
+    # host-visible boundaries — amortizes dispatch latency on remote TPUs.
+    dispatch_steps: int = 8
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)

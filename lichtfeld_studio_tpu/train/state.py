@@ -378,3 +378,37 @@ def train_step(
     (batch size 1, dataset.hpp:242)."""
     loss, out, grads = compute_grads(state, camera, gt_image, bg_color, cfg)
     return apply_update(state, grads, cfg, loss, out)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_steps_scanned(
+    state: TrainState,
+    cameras: CameraParams,  # leaves stacked with leading [K]
+    gt_images: jax.Array,  # [K, H, W, 3]
+    bg_color: jax.Array,  # [3]
+    cfg: TrainConfig,
+) -> tuple[TrainState, dict]:
+    """K sequential train steps in ONE device dispatch (lax.scan).
+
+    Same math as K calls to train_step; exists purely to amortize host
+    dispatch latency (the reference never needs this — its driver sits on
+    the PCIe bus; a remote TPU pays a round trip per dispatch). Returns
+    stacked [K] metrics."""
+
+    def body(st, xs):
+        w2c, campos, K_, uid, gt = xs
+        cam = CameraParams(
+            w2c=w2c, cam_position=campos, K=K_, uid=uid,
+            width=cameras.width, height=cameras.height,
+            camera_model=cameras.camera_model,
+        )
+        loss, out, grads = compute_grads(st, cam, gt, bg_color, cfg)
+        st, metrics = apply_update(st, grads, cfg, loss, out)
+        return st, metrics
+
+    state, metrics = jax.lax.scan(
+        body,
+        state,
+        (cameras.w2c, cameras.cam_position, cameras.K, cameras.uid, gt_images),
+    )
+    return state, metrics

@@ -32,6 +32,7 @@ from lichtfeld_studio_tpu.train.state import (
     init_train_state,
     make_lrs,
     train_step,
+    train_steps_scanned,
 )
 from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 
@@ -196,30 +197,65 @@ class Trainer:
         except ImportError:
             pbar = None
 
+        # Steps between host-visible boundaries run as ONE device dispatch
+        # (lax.scan) to amortize dispatch latency; boundaries (eval/save/
+        # timelapse/progress) land on exact iterations.
+        dispatch_k = max(1, opt.dispatch_steps)
+        boundaries = sorted(
+            set(eval_steps) | set(save_steps)
+            | ({s for s in range(timelapse_every, opt.iterations + 1, timelapse_every)}
+               if timelapse_cams else set())
+            | {opt.iterations}
+        )
+
         pending_loss = None
         t_start = time.time()
         losses = []
         try:
-            for it in range(1, opt.iterations + 1):
-                cam, img = next(self._loader)
-                gt = jnp.asarray(img)
-                self.state, metrics = train_step(
-                    self.state, cam.device_params(), gt, bg, self.cfg
-                )
-                # read last step's loss (device round-trip hidden by this
-                # step's compute — replaces the reference's sync loss.item)
+            it = 0
+            while it < opt.iterations:
+                next_boundary = next((b for b in boundaries if b > it), opt.iterations)
+                k = min(dispatch_k, max(next_boundary - it, 1))
+
+                if k > 1:
+                    cams, imgs = zip(*(next(self._loader) for _ in range(k)))
+                    from lichtfeld_studio_tpu.parallel.data_parallel import make_camera_batch
+
+                    batch, gts = make_camera_batch(list(cams), list(imgs))
+                    from lichtfeld_studio_tpu.core.camera import CameraParams
+
+                    cam0 = cams[0]
+                    stacked = CameraParams(
+                        w2c=batch["w2c"], cam_position=batch["cam_position"],
+                        K=batch["K"], uid=batch["uid"],
+                        width=cam0.width, height=cam0.height,
+                        camera_model=cam0.camera_model,
+                    )
+                    self.state, metrics = train_steps_scanned(
+                        self.state, stacked, gts, bg, self.cfg
+                    )
+                    last_loss = metrics["loss"][-1]
+                else:
+                    cam, img = next(self._loader)
+                    self.state, metrics = train_step(
+                        self.state, cam.device_params(), jnp.asarray(img), bg, self.cfg
+                    )
+                    last_loss = metrics["loss"]
+                it += k
+
+                # read the previous dispatch's loss (device round-trip hidden
+                # by this dispatch's compute — replaces sync loss.item)
                 if pending_loss is not None:
                     losses.append(float(pending_loss))
-                pending_loss = metrics["loss"]
+                pending_loss = last_loss
 
                 if pbar is not None:
-                    pbar.update(1)
-                    if it % 20 == 0:
-                        pbar.set_postfix(
-                            loss=f"{losses[-1]:.4f}" if losses else "-",
-                            gaussians=int(self.state.splats.n_active),
-                        )
-                if self.progress_callback and it % 10 == 0:
+                    pbar.update(k)
+                    pbar.set_postfix(
+                        loss=f"{losses[-1]:.4f}" if losses else "-",
+                        gaussians=int(self.state.splats.n_active),
+                    )
+                if self.progress_callback:
                     self.progress_callback(
                         it, losses[-1] if losses else float("nan"),
                         int(self.state.splats.n_active),
