@@ -137,13 +137,14 @@ def project_gaussians(
     opacity = jax.nn.sigmoid(logit_opacities)
     valid &= opacity >= MIN_ALPHA_THRESHOLD
 
-    # --- cov3d (kernels_forward.cuh:76-105) ---
+    # --- cov3d factors (kernels_forward.cuh:76-105) ---
+    # cov3d = R diag(var) R^T is never materialized: the 2D covariance below
+    # contracts it against the Jacobian rows, which reduces to elementwise
+    # sums (batched 3x3 einsums map terribly onto the 128x128 MXU).
     q_norm_sq = jnp.sum(quats * quats, axis=-1)
     valid &= q_norm_sq >= 1e-8
     rot = quat_to_rotmat(quats)  # [C, 3, 3]
     var = jnp.exp(2.0 * log_scales)  # sigma^2
-    m = rot * var[:, None, :]
-    cov3d = jnp.einsum("cik,cjk->cij", m, rot, precision=jax.lax.Precision.HIGHEST)
 
     # --- normalized image-plane coords, clamped to a 15%-expanded frustum ---
     safe_depth = jnp.where(jnp.abs(depth) > 1e-12, depth, 1e-12)
@@ -164,11 +165,13 @@ def project_gaussians(
     w1, w2, w3 = rot_w2c[0], rot_w2c[1], rot_w2c[2]  # rows, [3]
     jw1 = j11[:, None] * w1[None, :] + j13[:, None] * w3[None, :]  # [C, 3]
     jw2 = j22[:, None] * w2[None, :] + j23[:, None] * w3[None, :]
-    jwc1 = jnp.sum(jw1[:, :, None] * cov3d, axis=1)  # [C, 3], full f32
-    jwc2 = jnp.sum(jw2[:, :, None] * cov3d, axis=1)
-    c_xx = jnp.sum(jwc1 * jw1, axis=-1) + DILATION
-    c_xy = jnp.sum(jwc1 * jw2, axis=-1)
-    c_yy = jnp.sum(jwc2 * jw2, axis=-1) + DILATION
+    # With a = JW (rows jw1/jw2):  a cov3d a^T = sum_k var_k (a R)_k^2 —
+    # u = a @ R are two [C,3] vectors, everything stays elementwise/VPU.
+    u1 = jnp.sum(jw1[:, :, None] * rot, axis=1)  # [C, 3]
+    u2 = jnp.sum(jw2[:, :, None] * rot, axis=1)
+    c_xx = jnp.sum(var * u1 * u1, axis=-1) + DILATION
+    c_xy = jnp.sum(var * u1 * u2, axis=-1)
+    c_yy = jnp.sum(var * u2 * u2, axis=-1) + DILATION
 
     det = c_xx * c_yy - c_xy * c_xy
     valid &= det >= 1e-8
