@@ -95,10 +95,15 @@ def main():
     lrs = make_lrs(1.6e-5, 2.5e-3, 5e-3, 1e-3, 0.05, splats.scene_scale)
     state = init_train_state(splats, lrs, seed=0)
 
-    # production configuration: K steps per dispatch via lax.scan
-    # (train_steps_scanned — amortizes the remote dispatch round trip)
+    # production configuration: K plain steps per dispatch via lax.scan
+    # (train_steps_scanned); scheduled refine steps run as their own
+    # statically-compiled variant — amortized at the real MCMC cadence
+    # (refine_every=100, parameter/mcmc_optimization_params.json)
     from lichtfeld_studio_tpu.core.camera import CameraParams
-    from lichtfeld_studio_tpu.train.state import train_steps_scanned
+    from lichtfeld_studio_tpu.train.state import StepFlags, train_steps_scanned
+
+    plain = StepFlags()
+    refine = StepFlags(refine=True)
 
     K_SCAN = 10
     stacked_cam = CameraParams(
@@ -111,23 +116,39 @@ def main():
     gts = jnp.tile(gt[None], (K_SCAN, 1, 1, 1))
 
     t0 = time.time()
-    state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+    state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg, plain)
     loss0 = float(metrics["loss"][-1])  # forces completion
     log(f"compile+first dispatch ({K_SCAN} steps): {time.time()-t0:.1f}s, "
         f"loss={loss0:.4f}, instances={int(metrics['n_instances'][-1])}")
 
-    warmup, dispatches = 1, 3
+    warmup, dispatches = 2, 3
     for _ in range(warmup):
-        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg, plain)
     _ = float(metrics["loss"][-1])
     t0 = time.time()
     for _ in range(dispatches):
-        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg)
+        state, metrics = train_steps_scanned(state, stacked_cam, gts, bg, cfg, plain)
     _ = float(metrics["loss"][-1])
-    dt = time.time() - t0
-    its = dispatches * K_SCAN / dt
-    log(f"{dispatches * K_SCAN} steps in {dt:.2f}s -> {its:.2f} it/s "
-        f"(n_active={int(metrics['n_active'][-1])})")
+    t_plain = (time.time() - t0) / (dispatches * K_SCAN)
+    log(f"plain step: {t_plain*1000:.0f} ms")
+
+    # refine-variant step cost (compile + 2 warmups, then timed)
+    t0 = time.time()
+    for _ in range(3):
+        state, metrics = train_step(state, cam, gt, bg, cfg, refine)
+    _ = float(metrics["loss"])
+    log(f"refine compile+warm: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(2):
+        state, metrics = train_step(state, cam, gt, bg, cfg, refine)
+    _ = float(metrics["loss"])
+    t_refine = (time.time() - t0) / 2
+    log(f"refine step: {t_refine*1000:.0f} ms (n_active={int(metrics['n_active'])})")
+
+    # amortize at the reference cadence: 1 refine per 100 steps
+    t_amort = (99.0 * t_plain + t_refine) / 100.0
+    its = 1.0 / t_amort
+    log(f"amortized: {t_amort*1000:.0f} ms/step -> {its:.2f} it/s")
 
     print(json.dumps({
         "metric": "mcmc_train_step_throughput_1Mcap_1296x840",

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lichtfeld_studio_tpu.core.camera import Camera, CameraParams
 from lichtfeld_studio_tpu.train.state import (
+    StepFlags,
     TrainConfig,
     TrainState,
     apply_update,
@@ -56,35 +57,41 @@ def make_dp_train_step(mesh: Mesh, cfg: TrainConfig, width: int, height: int):
     """
     axis = "data"
 
-    def per_chip(state: TrainState, w2c, campos, K, uid, gt, bg):
-        # shard_map hands each chip a leading block of size 1
-        cam = CameraParams(
-            w2c=w2c[0],
-            cam_position=campos[0],
-            K=K[0],
-            uid=uid[0],
-            width=width,
-            height=height,
+    def make_sharded(flags: StepFlags):
+        def per_chip(state: TrainState, w2c, campos, K, uid, gt, bg):
+            # shard_map hands each chip a leading block of size 1
+            cam = CameraParams(
+                w2c=w2c[0],
+                cam_position=campos[0],
+                K=K[0],
+                uid=uid[0],
+                width=width,
+                height=height,
+            )
+            loss, out, grads = compute_grads(state, cam, gt[0], bg, cfg, flags)
+            grads = jax.lax.pmean(grads, axis)  # ONE collective, over ICI
+            loss = jax.lax.pmean(loss, axis)
+            n_inst = jax.lax.pmax(out.n_instances, axis)
+            new_state, metrics = apply_update(state, grads, cfg, loss, out, flags)
+            metrics["n_instances"] = n_inst
+            return new_state, metrics
+
+        return jax.shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
         )
-        loss, out, grads = compute_grads(state, cam, gt[0], bg, cfg)
-        grads = jax.lax.pmean(grads, axis)  # ONE collective, over ICI
-        loss = jax.lax.pmean(loss, axis)
-        n_inst = jax.lax.pmax(out.n_instances, axis)
-        new_state, metrics = apply_update(state, grads, cfg, loss, out)
-        metrics["n_instances"] = n_inst
-        return new_state, metrics
 
-    sharded = jax.shard_map(
-        per_chip,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    from functools import partial as _partial
 
-    @jax.jit
-    def step(state: TrainState, cam_batch: dict, gt: jax.Array, bg: jax.Array):
-        return sharded(
+    @_partial(jax.jit, static_argnames=("flags",))
+    def step(
+        state: TrainState, cam_batch: dict, gt: jax.Array, bg: jax.Array,
+        flags: StepFlags = StepFlags(),
+    ):
+        return make_sharded(flags)(
             state,
             cam_batch["w2c"],
             cam_batch["cam_position"],

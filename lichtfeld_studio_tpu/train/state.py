@@ -71,6 +71,58 @@ class TrainConfig:
         return self.iterations - self.sparsify_steps if self.enable_sparsity else self.iterations
 
 
+@dataclass(frozen=True)
+class StepFlags:
+    """Static per-step schedule flags.
+
+    Every schedule in the reference (refine cadence, SH stepping, opacity
+    reset, sparsity phases) is a function of the iteration number alone, so
+    the host knows it in advance. Passing these as *static* arguments
+    compiles a handful of step variants instead of carrying lax.cond
+    branches — XLA conditionals copy their operands (the full ~1 GB state),
+    which measured ~10x slower than just compiling the branch in, and they
+    pessimize badly inside lax.scan."""
+
+    refine: bool = False
+    sh_step: bool = False
+    reset: bool = False
+    sparsity_phase: bool = False
+    admm_init: bool = False
+    admm_update: bool = False
+
+
+def step_flags(cfg: TrainConfig, iteration: int) -> StepFlags:
+    """Compute the flags for a (1-based) iteration — mirrors is_refining
+    (mcmc.cpp:500-505 / default_strategy.cpp:31-35) and the trainer's phase
+    gates."""
+    m = cfg.mcmc
+    in_sparsity = cfg.enable_sparsity and iteration > cfg.base_iterations
+    if cfg.strategy == "mcmc":
+        refine = (
+            not in_sparsity
+            and m.start_refine < iteration < m.stop_refine
+            and iteration % m.refine_every == 0
+        )
+        reset = False
+    else:
+        refine = (
+            not in_sparsity
+            and iteration > m.start_refine
+            and iteration < m.stop_refine
+            and iteration % m.refine_every == 0
+            and iteration % cfg.reset_every >= cfg.pause_refine_after_reset
+        )
+        reset = not in_sparsity and iteration % cfg.reset_every == 0 and iteration > 0
+    return StepFlags(
+        refine=refine,
+        sh_step=iteration % m.sh_degree_interval == 0,
+        reset=reset,
+        sparsity_phase=in_sparsity,
+        admm_init=cfg.enable_sparsity and iteration == cfg.base_iterations + 1,
+        admm_update=in_sparsity and iteration % 50 == 0,
+    )
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -156,6 +208,7 @@ def compute_grads(
     gt_image: jax.Array,  # [H, W, 3]
     bg_color: jax.Array,  # [3]
     cfg: TrainConfig,
+    flags: StepFlags = StepFlags(),
 ):
     """Render + loss + backward for one camera. Split from apply_update so
     the data-parallel wrapper (parallel/data_parallel.py) can psum gradients
@@ -211,16 +264,14 @@ def compute_grads(
         loss = loss + opacity_reg_loss(s, cfg.opacity_reg)
         if cfg.use_bilateral_grid:
             loss = loss + cfg.tv_loss_weight * tv_loss(aux["bilateral"])
-        if cfg.enable_sparsity:
+        if cfg.enable_sparsity and flags.sparsity_phase:
             from lichtfeld_studio_tpu.train.components.sparsity import sparsity_loss
             from lichtfeld_studio_tpu.train.components.sparsity import ADMMState
 
-            in_phase = iteration > cfg.base_iterations
-            sp = sparsity_loss(
+            loss = loss + sparsity_loss(
                 params["opacity"], s.active_mask(),
                 ADMMState(u=state.admm_u, z=state.admm_z), cfg.sparsity_rho,
             )
-            loss = loss + jnp.where(in_phase, sp, 0.0)
         return loss, out
 
     params = dict(state.splats.trainable_dict())
@@ -240,9 +291,11 @@ def apply_update(
     cfg: TrainConfig,
     loss: jax.Array,
     out,
+    flags: StepFlags = StepFlags(),
 ) -> tuple[TrainState, dict]:
     """Strategy post_backward + Adam + LR schedule (the reference's
-    post_backward -> step ordering, trainer.cpp:745-758)."""
+    post_backward -> step ordering, trainer.cpp:745-758). `flags` selects
+    the statically-compiled step variant (see StepFlags)."""
     iteration = state.iteration + 1  # 1-based, like the reference loop
 
     # --- strategy post_backward BEFORE the optimizer step (trainer.cpp:745-758) ---
@@ -254,21 +307,13 @@ def apply_update(
     dmean2d = grads.pop("_mean2d", None)
     aux_grads = grads.pop("_aux", {})
 
-    # During the sparsification phase the strategy post_backward is skipped
-    # entirely (trainer.cpp:744-754)
-    in_sparsity_phase = (
-        (iteration > cfg.base_iterations) if cfg.enable_sparsity else jnp.asarray(False)
-    )
-
     if cfg.strategy == "mcmc":
-        splats, adam = jax.lax.cond(
-            in_sparsity_phase,
-            lambda o: o,
-            lambda o: mcmc_strategy.post_backward(
-                sub, iteration, o[0], o[1], state.binoms, cfg.mcmc
-            ),
-            (splats, adam),
-        )
+        # post_backward skipped during sparsification (trainer.cpp:744-754)
+        if not flags.sparsity_phase:
+            splats, adam = mcmc_strategy.post_backward(
+                sub, iteration, splats, adam, state.binoms, cfg.mcmc,
+                refine=flags.refine, sh_step=flags.sh_step,
+            )
     elif cfg.strategy == "default":
         from lichtfeld_studio_tpu.train.strategies import adc
 
@@ -280,48 +325,35 @@ def apply_update(
         densify_count = densify_count + vis
         densify_grad = densify_grad + jnp.where(out.visibility, gnorm, 0.0)
 
-        splats, adam, densify_count, densify_grad = jax.lax.cond(
-            in_sparsity_phase,
-            lambda o: o,
-            lambda o: adc.post_backward(sub, iteration, o[0], o[1], o[2], o[3], cfg),
-            (splats, adam, densify_count, densify_grad),
-        )
+        if not flags.sparsity_phase:
+            splats, adam, densify_count, densify_grad = adc.post_backward(
+                sub, iteration, splats, adam, densify_count, densify_grad, cfg,
+                refine=flags.refine, sh_step=flags.sh_step, reset=flags.reset,
+            )
     else:
         raise ValueError(f"unknown strategy {cfg.strategy}")
 
     # --- ADMM dual updates every 50 steps inside the sparsity phase
     # (sparsity_optimizer.cpp:85-91; trainer.cpp:744-754) ---
     admm_u, admm_z = state.admm_u, state.admm_z
-    if cfg.enable_sparsity:
+    if flags.admm_init or flags.admm_update:
         from lichtfeld_studio_tpu.train.components.sparsity import (
             ADMMState,
-            UPDATE_EVERY,
             init_admm,
             update_admm,
         )
 
         active = splats.active_mask()
-
-        def do_init(_):
-            st = init_admm(splats.opacity, active, splats.n_active, cfg.sparsity_prune_ratio)
-            return st.u, st.z
-
-        def do_update(uz):
+        if flags.admm_init:
+            st = init_admm(
+                splats.opacity, active, splats.n_active, cfg.sparsity_prune_ratio
+            )
+        else:
             st = update_admm(
                 splats.opacity, active, splats.n_active,
-                ADMMState(u=uz[0], z=uz[1]), cfg.sparsity_prune_ratio,
+                ADMMState(u=admm_u, z=admm_z), cfg.sparsity_prune_ratio,
             )
-            return st.u, st.z
-
-        admm_u, admm_z = jax.lax.cond(
-            iteration == cfg.base_iterations + 1,
-            do_init,
-            lambda uz: jax.lax.cond(
-                in_sparsity_phase & (iteration % UPDATE_EVERY == 0), do_update,
-                lambda x: x, uz,
-            ),
-            (admm_u, admm_z),
-        )
+        admm_u, admm_z = st.u, st.z
 
     # --- Adam step on the (possibly relocated) params with this step's grads ---
     params, adam = adam_step(
@@ -366,34 +398,39 @@ def apply_update(
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "flags"), donate_argnames=("state",))
 def train_step(
     state: TrainState,
     camera: CameraParams,
     gt_image: jax.Array,  # [H, W, 3]
     bg_color: jax.Array,  # [3]
     cfg: TrainConfig,
+    flags: StepFlags = StepFlags(),
 ) -> tuple[TrainState, dict]:
     """Single-chip train step: one camera per step, like the reference
-    (batch size 1, dataset.hpp:242)."""
-    loss, out, grads = compute_grads(state, camera, gt_image, bg_color, cfg)
-    return apply_update(state, grads, cfg, loss, out)
+    (batch size 1, dataset.hpp:242). `flags` selects the compiled variant
+    for scheduled work (refine / SH step / reset / sparsity)."""
+    loss, out, grads = compute_grads(state, camera, gt_image, bg_color, cfg, flags)
+    return apply_update(state, grads, cfg, loss, out, flags)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "flags"), donate_argnames=("state",))
 def train_steps_scanned(
     state: TrainState,
     cameras: CameraParams,  # leaves stacked with leading [K]
     gt_images: jax.Array,  # [K, H, W, 3]
     bg_color: jax.Array,  # [3]
     cfg: TrainConfig,
+    flags: StepFlags = StepFlags(),
 ) -> tuple[TrainState, dict]:
     """K sequential train steps in ONE device dispatch (lax.scan).
 
     Same math as K calls to train_step; exists purely to amortize host
     dispatch latency (the reference never needs this — its driver sits on
-    the PCIe bus; a remote TPU pays a round trip per dispatch). Returns
-    stacked [K] metrics."""
+    the PCIe bus; a remote TPU pays a round trip per dispatch). All K steps
+    share `flags`, so the trainer only scans uniform stretches between
+    scheduled events (refine/reset/SH) — which also keeps heavy branches
+    out of the scan body. Returns stacked [K] metrics."""
 
     def body(st, xs):
         w2c, campos, K_, uid, gt = xs
@@ -402,8 +439,8 @@ def train_steps_scanned(
             width=cameras.width, height=cameras.height,
             camera_model=cameras.camera_model,
         )
-        loss, out, grads = compute_grads(st, cam, gt, bg_color, cfg)
-        st, metrics = apply_update(st, grads, cfg, loss, out)
+        loss, out, grads = compute_grads(st, cam, gt, bg_color, cfg, flags)
+        st, metrics = apply_update(st, grads, cfg, loss, out, flags)
         return st, metrics
 
     state, metrics = jax.lax.scan(

@@ -231,37 +231,25 @@ def post_backward(
     densify_count: jax.Array,
     densify_grad: jax.Array,
     cfg,
+    *,
+    refine: bool = False,
+    sh_step: bool = False,
+    reset: bool = False,
 ) -> tuple[SplatData, AdamState, jax.Array, jax.Array]:
     """SH schedule + grow/prune/reset (default_strategy.cpp:292-326).
+    `refine`/`sh_step`/`reset` are static (the schedule is host-known;
+    lax.cond would copy the full state through the branch — ~10x slower).
     Returns (splats, adam, densify_count, densify_grad) with the stats
     zeroed after each refine."""
-    splats = jax.lax.cond(
-        iteration % cfg.mcmc.sh_degree_interval == 0,
-        lambda s: s.increment_sh_degree(),
-        lambda s: s,
-        splats,
-    )
+    if sh_step:
+        splats = splats.increment_sh_degree()
 
-    refining = is_refining(iteration, cfg) & (iteration < cfg.mcmc.stop_refine)
+    if refine:
+        splats, adam = grow_gs(key, splats, adam, densify_count, densify_grad, cfg)
+        splats, adam = prune_gs(iteration, splats, adam, cfg)
+        densify_count = jnp.zeros_like(densify_count)
+        densify_grad = jnp.zeros_like(densify_grad)
 
-    def do_refine(operand):
-        s, a, dc, dg = operand
-        s, a = grow_gs(key, s, a, dc, dg, cfg)
-        s, a = prune_gs(iteration, s, a, cfg)
-        return s, a, jnp.zeros_like(dc), jnp.zeros_like(dg)
-
-    splats, adam, densify_count, densify_grad = jax.lax.cond(
-        refining, do_refine, lambda o: o, (splats, adam, densify_count, densify_grad)
-    )
-
-    def do_reset(operand):
-        s, a = operand
-        return reset_opacity(s, a, cfg)
-
-    splats, adam = jax.lax.cond(
-        (iteration % cfg.reset_every == 0) & (iteration > 0),
-        do_reset,
-        lambda o: o,
-        (splats, adam),
-    )
+    if reset:
+        splats, adam = reset_opacity(splats, adam, cfg)
     return splats, adam, densify_count, densify_grad

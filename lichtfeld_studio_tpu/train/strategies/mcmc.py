@@ -198,26 +198,21 @@ def post_backward(
     adam: AdamState,
     binoms: jax.Array,
     cfg: MCMCConfig,
+    *,
+    refine: bool = False,
+    sh_step: bool = False,
 ) -> tuple[SplatData, AdamState]:
-    """SH schedule + refine + noise (reference mcmc.cpp:369-393)."""
-    splats = jax.lax.cond(
-        iteration % cfg.sh_degree_interval == 0,
-        lambda s: s.increment_sh_degree(),
-        lambda s: s,
-        splats,
-    )
+    """SH schedule + refine + noise (reference mcmc.cpp:369-393).
+    `refine`/`sh_step` are static (the schedule is known on the host);
+    lax.cond would copy the full state through the branch — ~10x slower."""
+    if sh_step:
+        splats = splats.increment_sh_degree()
 
     k_rel, k_add, k_noise = jax.random.split(key, 3)
 
-    def do_refine(operand):
-        s, a = operand
-        s, a = relocate_gs(k_rel, s, a, binoms, cfg)
-        s, a = add_new_gs(k_add, s, a, binoms, cfg)
-        return s, a
-
-    splats, adam = jax.lax.cond(
-        is_refining(iteration, cfg), do_refine, lambda o: o, (splats, adam)
-    )
+    if refine:
+        splats, adam = relocate_gs(k_rel, splats, adam, binoms, cfg)
+        splats, adam = add_new_gs(k_add, splats, adam, binoms, cfg)
 
     current_lr = adam.lr["means"] * NOISE_LR
     new_means = add_noise(

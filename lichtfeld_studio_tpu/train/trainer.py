@@ -208,6 +208,10 @@ class Trainer:
             | {opt.iterations}
         )
 
+        from lichtfeld_studio_tpu.train.state import StepFlags, step_flags
+
+        default_flags = StepFlags()
+
         pending_loss = None
         t_start = time.time()
         losses = []
@@ -215,7 +219,20 @@ class Trainer:
             it = 0
             while it < opt.iterations:
                 next_boundary = next((b for b in boundaries if b > it), opt.iterations)
-                k = min(dispatch_k, max(next_boundary - it, 1))
+                # scan only full-length uniform default-flag stretches (every
+                # distinct scan length is a separate XLA compile); scheduled
+                # steps (refine/reset/SH/sparsity events) run as their own
+                # statically-compiled variant
+                flags_next = step_flags(self.cfg, it + 1)
+                uniform = (
+                    flags_next == default_flags
+                    and next_boundary - it >= dispatch_k
+                    and all(
+                        step_flags(self.cfg, it + j) == default_flags
+                        for j in range(2, dispatch_k + 1)
+                    )
+                )
+                k = dispatch_k if (uniform and dispatch_k > 1) else 1
 
                 if k > 1:
                     cams, imgs = zip(*(next(self._loader) for _ in range(k)))
@@ -232,13 +249,14 @@ class Trainer:
                         camera_model=cam0.camera_model,
                     )
                     self.state, metrics = train_steps_scanned(
-                        self.state, stacked, gts, bg, self.cfg
+                        self.state, stacked, gts, bg, self.cfg, default_flags
                     )
                     last_loss = metrics["loss"][-1]
                 else:
                     cam, img = next(self._loader)
                     self.state, metrics = train_step(
-                        self.state, cam.device_params(), jnp.asarray(img), bg, self.cfg
+                        self.state, cam.device_params(), jnp.asarray(img), bg,
+                        self.cfg, flags_next,
                     )
                     last_loss = metrics["loss"]
                 it += k

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from lichtfeld_studio_tpu.ops.adam import init_adam
-from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs, train_step
+from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs, step_flags, train_step
 from lichtfeld_studio_tpu.train.strategies import adc
 from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 from lichtfeld_studio_tpu.ops.rasterize import rasterize
@@ -111,8 +111,10 @@ def test_adc_training_smoke(rng):
     state = init_train_state(noisy, lrs, seed=0)
     cfg = _cfg(start_refine=5, refine_every=10, reset_every=10_000)
     losses = []
-    for _ in range(40):
-        state, metrics = train_step(state, cam.device_params(), target, bg, cfg)
+    for i in range(40):
+        state, metrics = train_step(
+            state, cam.device_params(), target, bg, cfg, step_flags(cfg, i + 1)
+        )
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from lichtfeld_studio_tpu.train.checkpoint import load_checkpoint, save_checkpoint
-from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs, train_step
+from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs, step_flags, train_step
 from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 from lichtfeld_studio_tpu.ops.rasterize import rasterize
 from tests.scene_utils import make_camera, make_random_splats
@@ -27,8 +27,9 @@ def test_checkpoint_resume_bit_exact(rng, tmp_path):
         lr_gamma=0.999,
     )
     state = init_train_state(splats, lrs, seed=0)
-    for _ in range(5):
-        state, _ = train_step(state, cam.device_params(), target, bg, cfg)
+    for i in range(5):
+        state, _ = train_step(state, cam.device_params(), target, bg, cfg,
+                              step_flags(cfg, i + 1))
 
     save_checkpoint(state, tmp_path / "ckpt")
 
@@ -44,8 +45,9 @@ def test_checkpoint_resume_bit_exact(rng, tmp_path):
     assert float(restored.adam.lr["means"]) == float(state.adam.lr["means"])
 
     # continued training from the restore matches continued training live
-    s_a, _ = train_step(state, cam.device_params(), target, bg, cfg)
-    s_b, _ = train_step(restored, cam.device_params(), target, bg, cfg)
+    f6 = step_flags(cfg, 6)
+    s_a, _ = train_step(state, cam.device_params(), target, bg, cfg, f6)
+    s_b, _ = train_step(restored, cam.device_params(), target, bg, cfg, f6)
     np.testing.assert_array_equal(
         np.asarray(s_a.splats.means), np.asarray(s_b.splats.means)
     )

@@ -9,7 +9,7 @@ import pytest
 from jax.sharding import Mesh
 from lichtfeld_studio_tpu.parallel.data_parallel import make_camera_batch, make_dp_train_step
 from lichtfeld_studio_tpu.ops.rasterize import rasterize
-from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs
+from lichtfeld_studio_tpu.train.state import TrainConfig, init_train_state, make_lrs, step_flags
 from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 from tests.scene_utils import make_camera, make_random_splats
 
@@ -57,8 +57,8 @@ def test_dp_train_step_runs_and_improves(rng):
     cam_batch, gt = make_camera_batch(cams, targets)
 
     losses = []
-    for _ in range(8):
-        state, metrics = step(state, cam_batch, gt, bg)
+    for i in range(8):
+        state, metrics = step(state, cam_batch, gt, bg, step_flags(cfg, i + 1))
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]

@@ -15,6 +15,7 @@ from lichtfeld_studio_tpu.train.state import (
     TrainConfig,
     init_train_state,
     make_lrs,
+    step_flags,
     train_step,
 )
 from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
@@ -70,7 +71,10 @@ def test_training_improves_psnr(rng):
     losses = []
     for i in range(60):
         cam = cams[i % 2]
-        state, metrics = train_step(state, cam.device_params(), targets[i % 2], bg, cfg)
+        state, metrics = train_step(
+            state, cam.device_params(), targets[i % 2], bg, cfg,
+            step_flags(cfg, i + 1),
+        )
         losses.append(float(metrics["loss"]))
     p1 = eval_psnr(state)
 
