@@ -189,10 +189,17 @@ def main(argv: list[str] | None = None) -> int:
     params = parse_args_and_params(argv)
     args = build_parser().parse_args(argv)
 
-    if params.ply_path:  # headless render of an existing splat
-        from lichtfeld_studio_tpu.render.headless import render_ply_orbit
+    if params.ply_path:  # headless render / interactive viewer export
+        if str(args.render_output).endswith(".html"):
+            from lichtfeld_studio_tpu.render.headless import splats_from_ply
+            from lichtfeld_studio_tpu.render.web_viewer import export_html
 
-        render_ply_orbit(params.ply_path, args.render_output)
+            out = export_html(splats_from_ply(params.ply_path), args.render_output)
+            print(f"interactive viewer written to {out} — open in any browser")
+        else:
+            from lichtfeld_studio_tpu.render.headless import render_ply_orbit
+
+            render_ply_orbit(params.ply_path, args.render_output)
         return 0
 
     if not params.dataset.data_path:

