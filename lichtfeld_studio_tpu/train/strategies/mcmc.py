@@ -19,7 +19,9 @@ slots", so the entire strategy is jit-compiled with zero recompiles:
   already-zero moments);
 * inject_noise (mcmc.cpp:349-367) every step with the *current* means lr.
 
-All branches are lax.cond so refine steps cost nothing on non-refine steps.
+Refine work compiles as a separate static step variant (see StepFlags in
+train/state.py) — XLA lax.cond copies the full state through branches,
+measured ~10x slower.
 """
 
 from __future__ import annotations
@@ -73,28 +75,31 @@ def _apply_relocation(
 ) -> tuple[SplatData, AdamState]:
     """Shared core of relocate/add_new: split each source `ratio` ways,
     write the updated opacity/scale back to the source, copy all params from
-    source to target slots."""
+    source to target slots.
+
+    Scatter-minimal formulation: the relocation update is a pure function of
+    (opacity, scale, ratio) per GAUSSIAN, so it is evaluated for every slot
+    (the [C,51] series rides the MXU) and applied with a select over ONE
+    boolean source mask — value scatters over the params measured ~10x
+    slower than the redundant compute."""
     c = splats.capacity
     opac = jax.nn.sigmoid(splats.opacity[:, 0])
 
-    # ratio per target slot = 1 + (#targets sampling the same source)
+    # ratio per source = 1 + (#targets sampling it)  (mcmc.cpp:144-150)
     occ = jax.ops.segment_sum(target_mask.astype(jnp.int32), src, num_segments=c)
-    ratios = 1 + occ[src]  # [C]
+    safe_src = jnp.where(target_mask, src, c)
+    is_source = jnp.zeros((c,), jnp.bool_).at[safe_src].set(True, mode="drop")
 
-    new_op, new_scales = relocation(
-        opac[src], jnp.exp(splats.scaling[src]), ratios, binoms
+    new_op_all, new_scales_all = relocation(
+        opac, jnp.exp(splats.scaling), 1 + occ, binoms
     )
-    new_op = jnp.clip(new_op, min_opacity, 1.0 - 1e-7)
-    new_logit = jnp.log(new_op) - jnp.log1p(-new_op)
-    new_log_scales = jnp.log(jnp.maximum(new_scales, 1e-20))
+    new_op_all = jnp.clip(new_op_all, min_opacity, 1.0 - 1e-7)
+    new_logit = jnp.log(new_op_all) - jnp.log1p(-new_op_all)
+    new_log_scales = jnp.log(jnp.maximum(new_scales_all, 1e-20))
 
     # 1) update the sources in place (reference order: sources first)
-    def scatter_src(arr, upd):
-        safe_src = jnp.where(target_mask, src, c)  # out-of-range drops
-        return arr.at[safe_src].set(upd, mode="drop")
-
-    opacity1 = scatter_src(splats.opacity, new_logit[:, None])
-    scaling1 = scatter_src(splats.scaling, new_log_scales)
+    opacity1 = jnp.where(is_source[:, None], new_logit[:, None], splats.opacity)
+    scaling1 = jnp.where(is_source[:, None], new_log_scales, splats.scaling)
 
     # 2) copy updated source params into target slots
     def copy_to_targets(arr):
@@ -113,13 +118,12 @@ def _apply_relocation(
     )
 
     if zero_source_moments:
-        # reference zeroes exp_avg/exp_avg_sq at sampled sources (mcmc.cpp:86-110)
+        # reference zeroes exp_avg/exp_avg_sq at sampled sources
+        # (mcmc.cpp:86-110) — bandwidth-cheap select over the source mask.
         def zero_src(tree):
-            safe_src = jnp.where(target_mask, src, c)
-
             def z(arr):
-                upd = jnp.zeros((c,) + arr.shape[1:], arr.dtype)
-                return arr.at[safe_src].set(upd, mode="drop")
+                m = is_source.reshape((c,) + (1,) * (arr.ndim - 1))
+                return jnp.where(m, 0.0, arr)
 
             return jax.tree.map(z, tree)
 
