@@ -187,9 +187,9 @@ def _backward_kernel(
     tfin_ref,  # [1, 1, P] VMEM — forward T_final
     dfeat_hbm,  # out [16, I+pad] ANY
     feat_s,  # scratch [2, 16, CHUNK]
-    dfeat_s,  # scratch [16, CHUNK]
+    dfeat_s,  # scratch [2, 16, CHUNK] (double-buffered writeback)
     sem,  # (2,) DMA semaphores
-    outsem,  # (1,) DMA semaphore for writeback
+    outsem,  # (2,) DMA semaphores for writeback
     *,
     grid_w: int,
     tile_size: int,
@@ -212,6 +212,13 @@ def _backward_kernel(
             feat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
             feat_s.at[slot],
             sem.at[slot],
+        )
+
+    def dma_out(slot, ci):
+        return pltpu.make_async_copy(
+            dfeat_s.at[slot],
+            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            outsem.at[slot],
         )
 
     @pl.when(n_chunks > 0)
@@ -308,18 +315,19 @@ def _backward_kernel(
         d_cc = rowsum(d_sig * 0.5 * dy * dy)
         d_op = rowsum(d_op_px)
 
-        zeros = jnp.zeros((CHUNK,), jnp.float32)
-        dfeat_s[0:8, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op, zeros, zeros])
-        dfeat_s[8:12, :] = dcolor
-        dfeat_s[12:16, :] = jnp.zeros((4, CHUNK), jnp.float32)
+        # double-buffered writeback: reclaim this slot's previous copy, fill,
+        # start — the DMA overlaps the next chunk's compute
+        oslot = ci % 2
 
-        copy_out = pltpu.make_async_copy(
-            dfeat_s,
-            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
-            outsem.at[0],
-        )
-        copy_out.start()
-        copy_out.wait()
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(oslot, ci - 2).wait()
+
+        zeros = jnp.zeros((CHUNK,), jnp.float32)
+        dfeat_s[oslot, 0:8, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op, zeros, zeros])
+        dfeat_s[oslot, 8:12, :] = dcolor
+        dfeat_s[oslot, 12:16, :] = jnp.zeros((4, CHUNK), jnp.float32)
+        dma_out(oslot, ci).start()
 
         t_new = jnp.min(
             jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
@@ -340,19 +348,28 @@ def _backward_kernel(
     )
 
     # Zero-fill gradient chunks skipped by early termination (the output HBM
-    # buffer is uninitialized memory otherwise).
+    # buffer is uninitialized memory otherwise), continuing the slot rotation.
     def zbody(ci):
-        dfeat_s[:, :] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
-        copy_out = pltpu.make_async_copy(
-            dfeat_s,
-            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
-            outsem.at[0],
-        )
-        copy_out.start()
-        copy_out.wait()
+        oslot = ci % 2
+
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(oslot, ci - 2).wait()
+
+        dfeat_s[oslot, :, :] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+        dma_out(oslot, ci).start()
         return ci + 1
 
     jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, ci_end)
+
+    # drain outstanding writebacks before the program ends
+    @pl.when(n_chunks >= 1)
+    def _():
+        dma_out((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        dma_out((n_chunks - 2) % 2, n_chunks - 2).wait()
 
 
 def _pad_feat(feat: jax.Array) -> jax.Array:
@@ -437,9 +454,9 @@ def _blend_core_bwd(grid_w, grid_h, tile_size, res, g_out):
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(feat_p.shape, jnp.float32),
