@@ -23,10 +23,14 @@ accumulation. The TPU formulation replaces all of that:
   scatter-adds back to gaussians through the gather's transpose.
 
 Packed layout (feature-major so instances ride the 128-wide lane axis):
-  feat [16, I]: rows 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
-                5 opacity, 6-7 pad, 8-11 color channels (rgb + optional depth),
-                12-15 pad.
+  feat [8, I]:  rows 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
+                5 opacity (f32); rows 6-7 carry the 4 color channels as
+                bf16 PAIRS bit-packed into f32 words (row 6 = r|g,
+                row 7 = b|aux) — halves the gather and stream bandwidth;
+                bf16 color error (~0.4%) is invisible next to gradient noise
+                and the gradient treats the quantizer as straight-through.
   out  [T, 8, P]: rows 0-3 composited channels, row 4 transmittance T_final.
+  bwd dfeat [16, I]: rows 0-5 geometry grads, 8-11 color grads (full f32).
 """
 
 from __future__ import annotations
@@ -46,8 +50,33 @@ from lichtfeld_studio_tpu.ops.projection import (
 )
 
 CHUNK = 256  # instances per streamed slice
-FEAT_ROWS = 16
+FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
+FEAT_ROWS = 16  # backward per-instance gradient rows (full f32)
 OUT_ROWS = 8
+
+
+def pack_bf16_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Two f32 -> one f32 word holding (bf16(hi) | bf16(lo)). bf16 is the
+    top half of f32; round-to-nearest-even before truncation."""
+    def rn(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return (b + 0x7FFF + ((b >> 16) & 1)) & ~0xFFFF
+    word = rn(hi) | ((rn(lo) >> 16) & 0xFFFF)
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
+def unpack_bf16_pair(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    b = jax.lax.bitcast_convert_type(w, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(b & ~0xFFFF, jnp.float32)
+    lo = jax.lax.bitcast_convert_type(b << 16, jnp.float32)
+    return hi, lo
+
+
+def _unpack_colors(f):
+    """feat rows 6-7 -> [4, CHUNK] f32 colors (r, g, b, aux)."""
+    r, g = unpack_bf16_pair(f[6, :])
+    b, aux = unpack_bf16_pair(f[7, :])
+    return jnp.stack([r, g, b, aux])
 
 
 def _pixel_centers(tile_idx, grid_w: int, tile_size: int, n_pix: int):
@@ -94,9 +123,9 @@ def _prefix_sum_rows(x):
 def _forward_kernel(
     tile_start_ref,
     tile_count_ref,
-    feat_hbm,  # [16, I+pad] ANY/HBM
+    feat_hbm,  # [8, I+pad] ANY/HBM (colors bf16-packed in rows 6-7)
     out_ref,  # [1, 8, P] VMEM
-    feat_s,  # scratch [2, 16, CHUNK] VMEM
+    feat_s,  # scratch [2, 8, CHUNK] VMEM
     sem,  # DMA semaphores (2,)
     *,
     grid_w: int,
@@ -134,7 +163,7 @@ def _forward_kernel(
             dma((ci + 1) % 2, ci + 1).start()
 
         dma(slot, ci).wait()
-        f = feat_s[slot]  # [16, CHUNK]
+        f = feat_s[slot]  # [8, CHUNK]
 
         alpha, _ = _masked_alpha(f, pxc, pyc)  # [CHUNK, P]
         in_range = (
@@ -149,7 +178,7 @@ def _forward_kernel(
         t_before = t_carry * jnp.exp(prefix_incl - log_om)
         w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
 
-        colors = jnp.maximum(f[8:12, :], 0.0)  # [4, CHUNK], fetch-time clamp
+        colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
         acc = acc + jax.lax.dot_general(
             colors,
             w,
@@ -182,7 +211,7 @@ def _forward_kernel(
 def _backward_kernel(
     tile_start_ref,
     tile_count_ref,
-    feat_hbm,  # [16, I+pad] ANY
+    feat_hbm,  # [8, I+pad] ANY (colors bf16-packed in rows 6-7)
     gout_ref,  # [1, 8, P] VMEM — cotangents (rows 0-3 channels, row 4 T_final)
     tfin_ref,  # [1, 1, P] VMEM — forward T_final
     dfeat_hbm,  # out [16, I+pad] ANY
@@ -267,7 +296,8 @@ def _backward_kernel(
         t_before = t_carry * jnp.exp(prefix_incl - log_om)
         w = jnp.where(counted, t_before * alpha, 0.0)
 
-        colors = jnp.maximum(f[8:12, :], 0.0)  # [4, CHUNK]
+        raw_colors = _unpack_colors(f)  # [4, CHUNK]
+        colors = jnp.maximum(raw_colors, 0.0)
 
         # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p]
         dcolor = jax.lax.dot_general(
@@ -276,7 +306,7 @@ def _backward_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # [4, CHUNK]
         # clamp max(c,0): zero grad where c < 0
-        dcolor = jnp.where(f[8:12, :] > 0.0, dcolor, 0.0)
+        dcolor = jnp.where(raw_colors > 0.0, dcolor, 0.0)
 
         # cg[i, p] = c_i . g_img[:, p]
         cg = jax.lax.dot_general(
@@ -379,17 +409,30 @@ def _pad_feat(feat: jax.Array) -> jax.Array:
     return jnp.pad(feat, ((0, 0), (0, pad)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _blend_core(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
-    return _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (CPU tests/CI — an improvement over the
+    reference, whose kernel tests skip without CUDA)."""
+    return jax.default_backend() not in ("tpu", "axon")
 
 
-def _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
+def _pack8(packed16: jax.Array) -> jax.Array:
+    """[N, 16] f32 per-gaussian features -> [N, 8] streamed layout:
+    rows 0-5 geometry, 6 = bf16(r)|bf16(g), 7 = bf16(b)|bf16(aux)."""
+    return jnp.concatenate(
+        [
+            packed16[:, 0:6],
+            pack_bf16_pair(packed16[:, 8], packed16[:, 9])[:, None],
+            pack_bf16_pair(packed16[:, 10], packed16[:, 11])[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
-    feat_p = _pad_feat(feat)
     kernel = functools.partial(_forward_kernel, grid_w=grid_w, tile_size=tile_size)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -399,7 +442,7 @@ def _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
                 (1, OUT_ROWS, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -408,26 +451,12 @@ def _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(tile_start, tile_count, feat_p)
-    return out
+    )(tile_start, tile_count, feat_t)
 
 
-def _interpret() -> bool:
-    """Run in interpreter mode off-TPU (CPU tests/CI — an improvement over the
-    reference, whose kernel tests skip without CUDA)."""
-    return jax.default_backend() not in ("tpu", "axon")
-
-
-def _blend_core_fwd(feat, tile_start, tile_count, grid_w, grid_h, tile_size):
-    out = _blend_fwd_call(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
-    return out, (feat, tile_start, tile_count, out)
-
-
-def _blend_core_bwd(grid_w, grid_h, tile_size, res, g_out):
-    feat, tile_start, tile_count, out = res
+def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
-    feat_p = _pad_feat(feat)
 
     # row 5 of the cotangent carries CG_final = sum_ch C_final[ch,p]*g[ch,p]
     cg_final = jnp.sum(out[:, 0:4, :] * g_out[:, 0:4, :], axis=1, keepdims=True)
@@ -437,7 +466,7 @@ def _blend_core_bwd(grid_w, grid_h, tile_size, res, g_out):
     t_final = out[:, 4:5, :]
 
     kernel = functools.partial(_backward_kernel, grid_w=grid_w, tile_size=tile_size)
-    dfeat_p = pl.pallas_call(
+    dfeat_t = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -453,48 +482,112 @@ def _blend_core_bwd(grid_w, grid_h, tile_size, res, g_out):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
                 pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(feat_p.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, feat_t.shape[1]), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
         interpret=_interpret(),
-    )(tile_start, tile_count, feat_p, g_aug, t_final)
-    # NOTE: tiles can share instances only through disjoint [start, end)
-    # ranges (each instance belongs to exactly one tile), so per-tile
-    # writebacks never collide.
-    dfeat = dfeat_p[:, : feat.shape[1]]
-    return (dfeat, None, None)
+    )(tile_start, tile_count, feat_t, g_aug, t_final)
+    # NOTE: tiles share instances only through disjoint [start, end) ranges
+    # (each instance belongs to exactly one tile), so per-tile writebacks
+    # never collide.
+    return dfeat_t
 
 
-_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _blend_gathered(
+    packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+    grid_w, grid_h, tile_size, source_cap,
+):
+    out, _ = _blend_gathered_fwd(
+        packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+        grid_w, grid_h, tile_size, source_cap,
+    )
+    return out
 
 
-def blend_pallas(
-    feat_rows: jax.Array,  # [I, 16] packed instance features (ops.tiles layout)
-    tile_start: jax.Array,  # [T] (CHUNK-aligned starts, see pad_tile_ranges)
-    tile_count: jax.Array,  # [T]
+def _gather_stream(packed16, g_pad, valid):
+    """[N,16] -> streamed [8, I_pad(+chunk pad)]: bf16-pack colors at the
+    gaussian level, ONE half-width row gather, transpose, chunk-pad."""
+    feat8 = _pack8(packed16)  # [N, 8]
+    gathered = jnp.where(valid[:, None], feat8[g_pad], 0.0)  # [I_pad, 8]
+    feat_t = gathered.T  # [8, I_pad]
+    i = feat_t.shape[1]
+    pad = (-i) % CHUNK + CHUNK
+    return jnp.pad(feat_t, ((0, 0), (0, pad)))
+
+
+def _blend_gathered_fwd(
+    packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+    grid_w, grid_h, tile_size, source_cap,
+):
+    tile_start, tile_count = tile_counts_pair
+    feat_t = _gather_stream(packed16, g_pad, valid)
+    out = _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size)
+    return out, (feat_t, layout_pos, n_touched, tile_start, tile_count, out)
+
+
+def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, res, g_out):
+    """Backward: replay kernel -> per-instance grads [16, I_pad] -> reduce to
+    per-gaussian [N, 16] via the sort-inverted layout permutation + segmented
+    prefix sums (scatter-free; see ops.tiles._gather_feat_bwd for the cost
+    analysis). The bf16 color quantizer is straight-through."""
+    feat_t, layout_pos, n_touched, tile_start, tile_count, out = res
+    dfeat_t = _backward_call(
+        feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size
+    )
+    dfeat = dfeat_t.T  # [I_pad(+pad), 16]
+    i_layout = dfeat.shape[0]
+    live = layout_pos < i_layout
+    d_pre = jnp.where(
+        live[:, None], dfeat[jnp.minimum(layout_pos, i_layout - 1)], 0.0
+    )  # [source_cap, 16]
+    s = jnp.cumsum(d_pre, axis=0)
+    s0 = jnp.concatenate([jnp.zeros((1, FEAT_ROWS), jnp.float32), s], axis=0)
+    off = jnp.cumsum(n_touched) - n_touched
+    end = jnp.minimum(off + n_touched, source_cap)
+    off = jnp.minimum(off, source_cap)
+    dpacked = s0[end] - s0[off]  # [N, 16]
+    return (dpacked, None, None, None, None, None)
+
+
+_blend_gathered.defvjp(_blend_gathered_fwd, _blend_gathered_bwd)
+
+
+def blend_pallas_fused(
+    packed16: jax.Array,  # [N, 16] per-gaussian features (ops.tiles.pack_features)
+    assignment,  # TileAssignment (chunk-aligned layout)
+    n_touched: jax.Array,  # [N]
     *,
     grid_w: int,
     grid_h: int,
     tile_size: int = 16,
     n_channels: int = 3,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
-    n_ch = n_channels
-    feat = feat_rows.T  # [16, I] feature-major for lane-axis streaming
-
-    out = _blend_core(feat, tile_start, tile_count, grid_w, grid_h, tile_size)
+    """Gather + Pallas blend fused behind one custom VJP.
+    Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
+    out = _blend_gathered(
+        packed16,
+        assignment.gaussian_idx,
+        assignment.layout_pos,
+        assignment.instance_valid,
+        n_touched,
+        (assignment.tile_start, assignment.tile_count),
+        grid_w,
+        grid_h,
+        tile_size,
+        assignment.source_cap,
+    )
     ts = tile_size
-    n_pix = ts * ts
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)
-    image = chans.transpose(0, 3, 1, 4, 2).reshape(grid_h * ts, grid_w * ts, 4)[..., :n_ch]
+    image = chans.transpose(0, 3, 1, 4, 2).reshape(grid_h * ts, grid_w * ts, 4)[..., :n_channels]
     t_final = out[:, 4, :].reshape(grid_h, grid_w, ts, ts)
     alpha = 1.0 - t_final.transpose(0, 2, 1, 3).reshape(grid_h * ts, grid_w * ts)
     return image, alpha

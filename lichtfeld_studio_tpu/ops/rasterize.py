@@ -138,17 +138,16 @@ def rasterize(
     elif mode in ("tiles", "pallas"):
         n_ch = 4 if with_depth else 3
         if mode == "pallas":
-            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas
+            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas_fused
 
             assignment = build_tile_assignment(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
                 chunk_align=CHUNK,
             )
-            feat = gather_instance_features(pack_features(proj, with_depth), assignment, proj.n_touched)
-            image4, alpha = blend_pallas(
-                feat,
-                assignment.tile_start,
-                assignment.tile_count,
+            image4, alpha = blend_pallas_fused(
+                pack_features(proj, with_depth),
+                assignment,
+                proj.n_touched,
                 grid_w=grid_w,
                 grid_h=grid_h,
                 tile_size=tile_size,

@@ -1,7 +1,12 @@
 """Pallas blend kernel vs oracle — forward image/alpha and full input
 gradients (parity bar: reference test_rasterization.cpp backend
 cross-validation + test_numerical_gradients.cpp). Runs in Pallas interpreter
-mode on CPU; compiled on TPU."""
+mode on CPU; compiled on TPU.
+
+Tolerances: the fast path streams COLORS as bf16 (kernels/blend_pallas.py),
+so images match the f32 oracle to ~0.4% of color magnitude (~2.5e-3) — a
+53 dB error floor, far beyond the 0.1 dB parity budget; geometry stays f32
+and alpha/transmittance are color-independent (exact)."""
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +26,7 @@ def test_pallas_matches_oracle_forward(rng):
     out_o = rasterize(splats, cam.device_params(), bg, mode="oracle")
     out_p = rasterize(splats, cam.device_params(), bg, mode="pallas", **KW)
     np.testing.assert_allclose(
-        np.asarray(out_p.image), np.asarray(out_o.image), atol=5e-5
+        np.asarray(out_p.image), np.asarray(out_o.image), atol=4e-3
     )
     np.testing.assert_allclose(
         np.asarray(out_p.alpha), np.asarray(out_o.alpha), atol=5e-5
@@ -40,7 +45,7 @@ def test_pallas_deep_tile_early_termination(rng):
     out_o = rasterize(splats, cam.device_params(), bg, mode="oracle")
     out_p = rasterize(splats, cam.device_params(), bg, mode="pallas", instance_cap=8192, k_max=512)
     np.testing.assert_allclose(
-        np.asarray(out_p.image), np.asarray(out_o.image), atol=1e-4
+        np.asarray(out_p.image), np.asarray(out_o.image), atol=5e-3
     )
 
 
@@ -61,7 +66,9 @@ def test_pallas_gradients_match_oracle(rng):
     for k in p:
         a, b = np.asarray(g_p[k]), np.asarray(g_o[k])
         assert np.isfinite(a).all(), k
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6, err_msg=k)
+        # bf16 color streaming perturbs geometry grads by ~0.4% of the
+        # color-dependent terms (straight-through quantizer)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-5, err_msg=k)
 
 
 def test_pallas_depth_mode(rng):
@@ -70,6 +77,8 @@ def test_pallas_depth_mode(rng):
     bg = jnp.zeros(3)
     out_o = rasterize(splats, cam.device_params(), bg, mode="oracle", with_depth=True)
     out_p = rasterize(splats, cam.device_params(), bg, mode="pallas", with_depth=True, **KW)
+    # depth rides the bf16 aux channel: ~0.4% of depth magnitude
     np.testing.assert_allclose(
-        np.asarray(out_p.depth), np.asarray(out_o.depth), atol=1e-4
+        np.asarray(out_p.depth), np.asarray(out_o.depth),
+        atol=2e-2 * float(np.abs(np.asarray(out_o.depth)).max() + 1)
     )

@@ -1,0 +1,91 @@
+"""On-TPU end-to-end training self-check: build a synthetic multi-view
+dataset on disk, train from random init with MCMC via the real Trainer/CLI
+path, and verify PSNR improves. Writes artifacts to /tmp/lfs_selfcheck."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from lichtfeld_studio_tpu.core.camera import look_at_camera
+    from lichtfeld_studio_tpu.core.splat_data import SplatData
+    from lichtfeld_studio_tpu.io.image import save_image
+    from lichtfeld_studio_tpu.ops.rasterize import rasterize
+    from lichtfeld_studio_tpu.cli import parse_args_and_params
+    from lichtfeld_studio_tpu.train.trainer import Trainer
+
+    root = Path("/tmp/lfs_selfcheck")
+    scene = root / "scene"
+    (scene / "images").mkdir(parents=True, exist_ok=True)
+
+    W, H = 512, 384
+    N_GT = 20_000
+    rng = np.random.default_rng(7)
+
+    # ground-truth scene: clustered colored gaussians
+    centers = rng.normal(0, 0.8, (30, 3))
+    which = rng.integers(0, 30, N_GT)
+    pos = (centers[which] + rng.normal(0, 0.15, (N_GT, 3))).astype(np.float32)
+    col = rng.uniform(0.05, 0.95, (30, 3))[which].astype(np.float32)
+    gt = SplatData.from_point_cloud(pos, col, np.zeros(3, np.float32), capacity=N_GT)
+    import dataclasses
+    gt = dataclasses.replace(gt, active_sh_degree=jnp.asarray(0, jnp.int32))
+    logit = np.log(0.8 / 0.2)
+    gt = gt.replace_trainable({**gt.trainable_dict(),
+                               "opacity": jnp.full((N_GT, 1), logit),
+                               "scaling": jnp.full((N_GT, 3), float(np.log(0.03)))})
+
+    frames = []
+    n_views = 24
+    for i in range(n_views):
+        theta = 2 * np.pi * i / n_views
+        eye = 4.5 * np.array([np.sin(theta), -0.25, -np.cos(theta)])
+        cam = look_at_camera(eye, np.zeros(3), np.array([0.0, -1.0, 0.0]),
+                             fx=450.0, fy=450.0, width=W, height=H, uid=i)
+        img = rasterize(gt, cam.device_params(), jnp.zeros(3),
+                        mode="pallas" if jax.default_backend() in ("tpu", "axon") else "tiles",
+                        instance_cap=2**20).image
+        name = f"images/r_{i:03d}.png"
+        save_image(str(scene / name), np.clip(np.asarray(img), 0, 1))
+        w2c = cam.w2c.astype(np.float64)
+        c2w = np.linalg.inv(w2c)
+        c2w[:3, 1:3] *= -1.0
+        frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+    fov_x = 2.0 * np.arctan(W / (2 * 450.0))
+    (scene / "transforms.json").write_text(json.dumps({"camera_angle_x": fov_x, "frames": frames}))
+    print("dataset written", flush=True)
+
+    params = parse_args_and_params([
+        "-d", str(scene), "-o", str(root / "out"), "--headless", "--eval",
+        "--test-every", "8", "--iterations", "2000",
+        "--eval-steps", "500", "2000", "--save-steps", "2000",
+        "--max-cap", "200000", "--instance-cap", str(2**21),
+        "--start-refine", "300", "--stop-refine", "1800", "--refine-every", "100",
+        "--sh-degree", "3", "--random",
+        "--init-num-pts", "20000",
+    ])
+    trainer = Trainer.setup(params)
+    t0 = time.time()
+    stats = trainer.train()
+    print(f"train stats: {stats}", flush=True)
+    csv = (root / "out" / "metrics.csv").read_text()
+    print(csv, flush=True)
+    rows = csv.strip().splitlines()[1:]
+    psnrs = [float(r.split(",")[1]) for r in rows]
+    assert psnrs[-1] > psnrs[0] - 0.5 and psnrs[-1] > 14.0, psnrs
+    print(f"SELFCHECK OK: PSNR {psnrs}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
