@@ -12,6 +12,7 @@ checkpoints/reports.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -114,7 +115,10 @@ class Trainer:
             opacity_reg=opt.opacity_reg,
             raster_mode=_default_raster_mode(),
             tile_size=opt.tile_size,
-            instance_cap=opt.instance_cap,
+            # start with a small instance buffer; the train loop grows it
+            # (bucketed recompiles) when the scene crowds it — all binning
+            # costs scale with this static capacity
+            instance_cap=min(2**20, opt.instance_cap),
             strategy=opt.strategy,
             mcmc=MCMCConfig(
                 max_cap=opt.max_cap,
@@ -156,7 +160,7 @@ class Trainer:
                 output_dir,
                 save_images=opt.enable_save_eval_images,
                 raster_mode=cfg.raster_mode,
-                instance_cap=cfg.instance_cap,
+                instance_cap=opt.instance_cap,
                 k_max=cfg.k_max,
             )
         return Trainer(
@@ -266,6 +270,24 @@ class Trainer:
                 if pending_loss is not None:
                     losses.append(float(pending_loss))
                 pending_loss = last_loss
+
+                # adaptive instance-buffer bucketing: grow the static cap when
+                # the scene's instance count crowds it (each growth is one
+                # recompile; capped by the configured instance_cap)
+                n_inst = int(
+                    metrics["n_instances"][-1] if k > 1 else metrics["n_instances"]
+                )
+                if (
+                    n_inst > 0.85 * self.cfg.instance_cap
+                    and self.cfg.instance_cap < opt.instance_cap
+                ):
+                    new_cap = min(self.cfg.instance_cap * 2, opt.instance_cap)
+                    print(
+                        f"[instance-cap] {n_inst} instances crowd "
+                        f"{self.cfg.instance_cap}; growing to {new_cap} (recompile)",
+                        flush=True,
+                    )
+                    self.cfg = dataclasses.replace(self.cfg, instance_cap=new_cap)
 
                 if pbar is not None:
                     pbar.update(k)
