@@ -186,6 +186,9 @@ class SplatData:
         positions = np.asarray(positions)
         scene_center = np.zeros(3, np.float32)
         dists = np.linalg.norm(positions - scene_center[None], axis=1)
+        # scene_scale from the UNSCALED cloud (splat_data.cpp:528-531), then
+        # positions are stretched by it (:542) — the stored model scene_scale
+        # stays the unscaled median, not the median of the stretched cloud
         scene_scale = float(np.median(dists))
         sd = SplatData.from_point_cloud(
             positions * scene_scale,
@@ -196,7 +199,9 @@ class SplatData:
             init_opacity=init_opacity,
             init_scaling=init_scaling,
         )
-        return sd
+        import dataclasses
+
+        return dataclasses.replace(sd, scene_scale=scene_scale)
 
     @staticmethod
     def from_arrays(
