@@ -189,6 +189,10 @@ def main(argv: list[str] | None = None) -> int:
     params = parse_args_and_params(argv)
     args = build_parser().parse_args(argv)
 
+    from lichtfeld_studio_tpu.core.logging import setup_logging
+
+    setup_logging(args.log_level)
+
     if params.ply_path:  # headless render / interactive viewer export
         if str(args.render_output).endswith(".html"):
             from lichtfeld_studio_tpu.render.headless import splats_from_ply
