@@ -194,6 +194,11 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(args.log_level)
 
     if params.ply_path:  # headless render / interactive viewer export
+        import os
+
+        if not os.path.exists(params.ply_path):
+            print(f"error: splat file not found: {params.ply_path}", file=sys.stderr)
+            return 2
         if str(args.render_output).endswith(".html"):
             from lichtfeld_studio_tpu.render.headless import splats_from_ply
             from lichtfeld_studio_tpu.render.web_viewer import export_html

@@ -92,10 +92,12 @@ class MetricsEvaluator:
                     side_by_side(np.asarray(gt), np.asarray(pred)),
                 )
         n_img = max(len(psnrs), 1)
+        # LPIPS reports -1 when no VGG weights are available (matching the
+        # reference's disabled-LPIPS behavior rather than propagating NaN)
         m = EvalMetrics(
             psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
             ssim=float(np.mean(ssims)) if ssims else float("nan"),
-            lpips=float(np.mean(lpipss)) if lpipss else float("nan"),
+            lpips=float(np.mean(lpipss)) if lpipss else -1.0,
             elapsed=(time.time() - t0) / n_img,
             num_gaussians=int(splats.n_active),
             iteration=iteration,

@@ -58,6 +58,8 @@ class Trainer:
     def setup(params: TrainingParameters) -> "Trainer":
         """Dataset -> SplatData init -> strategy/optimizer -> Trainer
         (reference training_setup.cpp:14-129)."""
+        from lichtfeld_studio_tpu.train.capacity import initial_capacity
+
         opt = params.optimization
         ds = params.dataset
         cameras, pcd, scene_center = load_dataset(
@@ -66,9 +68,18 @@ class Trainer:
         train_set = CameraDataset(cameras, "train", ds.test_every if opt.enable_eval else 0)
         val_set = CameraDataset(cameras, "val", ds.test_every)
 
-        capacity = opt.max_cap
+        # gaussian-capacity bucketing: start with a snug power-of-two bucket
+        # and grow toward max_cap as densification fills it (train/capacity.py)
+        if opt.random_init:
+            n_init = opt.init_num_pts
+        elif params.init_ply:
+            n_init = None  # resolved after reading the file
+        else:
+            n_init = min(pcd.size, opt.max_cap // 2)
+        capacity = initial_capacity(n_init, opt.max_cap) if n_init else opt.max_cap
         if params.init_ply:  # warm start (training_setup.cpp:50-71)
             pc = read_ply(params.init_ply)
+            capacity = initial_capacity(pc.size, opt.max_cap)
             splats = SplatData.from_arrays(
                 pc.means, pc.sh0, pc.shN, pc.scaling, pc.rotation, pc.opacity,
                 capacity=capacity,
@@ -121,7 +132,7 @@ class Trainer:
             instance_cap=min(2**20, opt.instance_cap),
             strategy=opt.strategy,
             mcmc=MCMCConfig(
-                max_cap=opt.max_cap,
+                max_cap=capacity,  # current bucket; grown toward opt.max_cap
                 min_opacity=opt.min_opacity,
                 start_refine=opt.start_refine,
                 stop_refine=opt.stop_refine,
@@ -288,6 +299,27 @@ class Trainer:
                         flush=True,
                     )
                     self.cfg = dataclasses.replace(self.cfg, instance_cap=new_cap)
+
+                # gaussian-capacity bucketing (train/capacity.py): densification
+                # approaches the current bucket -> pad state + raise the cap
+                cur_cap = self.state.splats.capacity
+                if (
+                    int(self.state.splats.n_active) > 0.85 * cur_cap
+                    and cur_cap < opt.max_cap
+                ):
+                    from lichtfeld_studio_tpu.train.capacity import grow_capacity
+
+                    new_gcap = min(cur_cap * 2, opt.max_cap)
+                    print(
+                        f"[capacity] {int(self.state.splats.n_active)} gaussians "
+                        f"crowd {cur_cap}; growing to {new_gcap} (recompile)",
+                        flush=True,
+                    )
+                    self.state = grow_capacity(self.state, new_gcap)
+                    self.cfg = dataclasses.replace(
+                        self.cfg,
+                        mcmc=dataclasses.replace(self.cfg.mcmc, max_cap=new_gcap),
+                    )
 
                 if pbar is not None:
                     pbar.update(k)
