@@ -22,13 +22,19 @@ _C2 = (1.0925484305920792, -1.0925484305920792, 0.94617469575755997,
        -0.31539156525251999, 0.54627421529603959)
 _C3 = (0.59004358992664352, 2.8906114426405538, 0.45704579946446572,
        0.3731763325901154, 1.4453057213202769)
+# degree-4 constants (gsplat SphericalHarmonicsCUDA.cu deg-4 branch)
+_C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+       -0.6690465435572892, 0.10578554691520431, 0.47308734787878004,
+       0.6258357354491761)
 
 SH_C0 = 0.28209479177387814
 
 
 def eval_sh_bases(dirs: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] unit directions -> [..., 15] bases for l=1..3 (no DC term),
-    ordered to match the reference coefficient layout."""
+    """[..., 3] unit directions -> [..., 24] bases for l=1..4 (no DC term),
+    ordered to match the reference coefficient layout. Callers slice to
+    their coefficient count; the constants are validated against Monte-Carlo
+    orthonormality in tests/test_sh.py."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
@@ -51,6 +57,16 @@ def eval_sh_bases(dirs: jnp.ndarray) -> jnp.ndarray:
         _C3[2] * x * (1.0 - 5.0 * zz),
         _C3[4] * z * (xx - yy),
         _C3[0] * x * (-xx + 3.0 * yy),
+        # l = 4
+        _C4[0] * xy * (xx - yy),
+        _C4[1] * yz * (3.0 * xx - yy),
+        _C4[2] * xy * (7.0 * zz - 1.0),
+        _C4[3] * yz * (7.0 * zz - 3.0),
+        _C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+        _C4[3] * xz * (7.0 * zz - 3.0),
+        _C4[5] * (xx - yy) * (7.0 * zz - 1.0),
+        _C4[1] * xz * (xx - 3.0 * yy),
+        _C4[6] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
     ]
     return jnp.stack(b, axis=-1)
 

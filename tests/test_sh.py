@@ -40,6 +40,21 @@ def test_degree1_analytic(rng):
     np.testing.assert_allclose(np.asarray(c)[0], 0.5 + 0.48860251190291987, atol=1e-6)
 
 
+def test_bases_orthonormal_montecarlo(rng):
+    """Real spherical harmonics are orthonormal over the sphere:
+    E_uniform[b_i b_j] = delta_ij / (4 pi). Validates every constant through
+    degree 4 in one shot (incl. the deg-4 set from gsplat's kernel)."""
+    n = 400_000
+    v = rng.normal(0, 1, (n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    b = np.asarray(eval_sh_bases(jnp.asarray(v.astype(np.float32))))  # [n, 24]
+    gram = (b.T @ b) / n
+    expected = np.eye(24) / (4.0 * np.pi)
+    np.testing.assert_allclose(gram, expected, atol=6e-4)
+    # DC term too: C0^2 = 1/(4 pi)
+    np.testing.assert_allclose(SH_C0**2, 1.0 / (4 * np.pi), rtol=1e-12)
+
+
 def test_bases_unit_dirs():
     d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     b = np.asarray(eval_sh_bases(d))

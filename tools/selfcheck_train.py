@@ -83,7 +83,9 @@ def main():
     print(csv, flush=True)
     rows = csv.strip().splitlines()[1:]
     psnrs = [float(r.split(",")[1]) for r in rows]
-    assert psnrs[-1] > psnrs[0] - 0.5 and psnrs[-1] > 14.0, psnrs
+    ssims = [float(r.split(",")[2]) for r in rows]
+    assert np.isfinite(psnrs).all(), psnrs
+    assert psnrs[-1] >= psnrs[0] - 0.25 and ssims[-1] > ssims[0], (psnrs, ssims)
     print(f"SELFCHECK OK: PSNR {psnrs}", flush=True)
 
 
