@@ -86,5 +86,7 @@ def add_noise(
     transformed = jnp.sum(rot * (var * t)[:, None, :], axis=2)  # [C, 3]
     op = jax.nn.sigmoid(logit_opacities)
     gate = jax.nn.sigmoid(-(100.0 * op - 0.5))
-    factor = jnp.where(active, current_lr * gate, 0.0)
-    return means + factor[:, None] * transformed
+    factor = current_lr * gate
+    # select (not multiply-by-zero): inactive slots must stay untouched even
+    # if their degenerate params make `transformed` non-finite (0*inf = NaN)
+    return jnp.where(active[:, None], means + factor[:, None] * transformed, means)

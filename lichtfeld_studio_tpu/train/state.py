@@ -394,6 +394,9 @@ def apply_update(
         "loss": loss,
         "n_active": splats.n_active,
         "n_instances": out.n_instances,
+        # health sentinel: non-finite parameter rows (cheap reduce; a NaN
+        # anywhere in the state shows up here the same step it appears)
+        "n_nonfinite": jnp.sum(~jnp.isfinite(splats.means)) + jnp.sum(~jnp.isfinite(splats.scaling)),
     }
     return new_state, metrics
 

@@ -282,6 +282,16 @@ class Trainer:
                     losses.append(float(pending_loss))
                 pending_loss = last_loss
 
+                n_bad = int(
+                    metrics["n_nonfinite"][-1] if k > 1 else metrics["n_nonfinite"]
+                )
+                if n_bad:
+                    print(
+                        f"[health] {n_bad} non-finite parameter entries at iter {it} "
+                        f"— numerical fault, see PERFNOTES.md",
+                        flush=True,
+                    )
+
                 # adaptive instance-buffer bucketing: grow the static cap when
                 # the scene's instance count crowds it (each growth is one
                 # recompile; capped by the configured instance_cap)
