@@ -1,0 +1,63 @@
+"""Headless render throughput benchmark (the reference's >=100 FPS @1080p
+viewer headline). Prints one JSON line like bench.py."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from lichtfeld_studio_tpu.core.camera import CameraParams, look_at_camera
+    from lichtfeld_studio_tpu.core.splat_data import SplatData
+    from lichtfeld_studio_tpu.ops.rasterize import rasterize
+
+    W, H = 1920, 1080
+    N = 660_000
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    col = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    sd = SplatData(
+        means=jnp.asarray(pos), sh0=jnp.asarray(((col - 0.5) / 0.2821)[:, None, :]),
+        shN=jnp.zeros((N, 15, 3)), scaling=jnp.full((N, 3), float(np.log(0.02))),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (N, 1)),
+        opacity=jnp.full((N, 1), 0.0),
+        n_active=jnp.asarray(N, jnp.int32), active_sh_degree=jnp.asarray(3, jnp.int32),
+        max_sh_degree=3, scene_scale=3.0,
+    )
+    mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
+    f = jax.jit(lambda s, w2c, cp: rasterize(
+        s, CameraParams(w2c=w2c, cam_position=cp,
+                        K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
+                        uid=jnp.asarray(0, jnp.int32), width=W, height=H),
+        jnp.zeros(3), mode=mode, instance_cap=2_500_000).image)
+    cams = []
+    for k in range(8):
+        th = 2 * np.pi * k / 8
+        c = look_at_camera(8.0 * np.array([np.sin(th), -0.1, -np.cos(th)]), np.zeros(3),
+                           np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
+        cams.append((jnp.asarray(c.w2c), jnp.asarray(c.cam_position)))
+    img = f(sd, *cams[0]); _ = float(img.ravel()[0])
+    n_frames = 20
+    t0 = time.time()
+    for k in range(n_frames):
+        img = f(sd, *cams[k % 8])
+    _ = float(img.ravel()[0])
+    fps = n_frames / (time.time() - t0)
+    print(json.dumps({
+        "metric": "headless_render_fps_1080p_660k",
+        "value": round(fps, 2), "unit": "FPS", "vs_baseline": round(fps / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
