@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opacity-reg", type=float, default=None)
     p.add_argument("--scale-reg", type=float, default=None)
     p.add_argument("--steps-scaler", type=float, default=None)
+    # ADC (default strategy) parameters
+    p.add_argument("--prune-opacity", type=float, default=None)
+    p.add_argument("--grow-scale3d", type=float, default=None)
+    p.add_argument("--grow-scale2d", type=float, default=None)
+    p.add_argument("--prune-scale3d", type=float, default=None)
+    p.add_argument("--prune-scale2d", type=float, default=None)
+    p.add_argument("--reset-every", type=int, default=None)
+    p.add_argument("--pause-refine-after-reset", type=int, default=None)
+    p.add_argument("--revised-opacity", action="store_true")
     p.add_argument("--eval", action="store_true", help="enable evaluation")
     p.add_argument("--headless", action="store_true")
     p.add_argument("--render-mode", type=str, default=None, choices=sorted(RENDER_MODES))
@@ -127,6 +136,13 @@ _OVERRIDE_MAP = {
     "sog_iterations": "sog_iterations",
     "instance_cap": "instance_cap",
     "save_eval_images": "enable_save_eval_images",
+    "prune_opacity": "prune_opacity",
+    "grow_scale3d": "grow_scale3d",
+    "grow_scale2d": "grow_scale2d",
+    "prune_scale3d": "prune_scale3d",
+    "prune_scale2d": "prune_scale2d",
+    "reset_every": "reset_every",
+    "pause_refine_after_reset": "pause_refine_after_reset",
 }
 _FLAG_MAP = {
     "eval": "enable_eval",
@@ -140,6 +156,7 @@ _FLAG_MAP = {
     "random_init": "random_init",
     "enable_sparsity": "enable_sparsity",
     "save_sog": "save_sog",
+    "revised_opacity": "revised_opacity",
 }
 
 
