@@ -26,13 +26,21 @@ def _gaussian_window() -> jnp.ndarray:
 
 
 def _blur_valid(img: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11x11 Gaussian blur, valid padding. img: [H, W, C]."""
+    """Separable 11x11 Gaussian blur, valid padding. img: [H, W, C].
+
+    Full-f32 convs: TPU's default conv precision runs bf16 passes, and the
+    variance terms (blur(x^2) - mu^2) cancel catastrophically under bf16 —
+    measured SSIM values > 1.3 on TPU before pinning the precision."""
     g = _gaussian_window()
     x = img.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
     kh = g.reshape(1, 1, _WINDOW_SIZE, 1)
     kw = g.reshape(1, 1, 1, _WINDOW_SIZE)
-    x = lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    x = lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )
+    x = lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )
     return x[:, 0].transpose(1, 2, 0)  # [H-10, W-10, C]
 
 

@@ -97,6 +97,37 @@ def test_bg_modulation_bounds():
         assert (v >= 0).all() and (v <= 1).all()
 
 
+# ---------------------------------------------------------------- ssim ref
+def test_ssim_matches_scipy_reference(rng):
+    """Pin SSIM semantics against a direct scipy implementation (same
+    windows, valid padding) — guards the precision of the conv path."""
+    from scipy.ndimage import convolve1d
+
+    from lichtfeld_studio_tpu.ops.ssim import ssim
+
+    a = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    x = np.arange(11) - 5
+    g = np.exp(-(x**2) / (2 * 1.5**2))
+    g /= g.sum()
+
+    def blur(img):
+        out = convolve1d(img, g, axis=0, mode="constant")
+        out = convolve1d(out, g, axis=1, mode="constant")
+        return out[5:-5, 5:-5]
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1 * mu1
+    s2 = blur(b * b) - mu2 * mu2
+    s12 = blur(a * b) - mu1 * mu2
+    ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+           / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))).mean()
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    assert ours <= 1.0 + 1e-5
+
+
 # ---------------------------------------------------------------- sparsity
 def test_admm_prune_z_zeros_smallest(rng):
     c = 16
