@@ -51,7 +51,8 @@ def kmeans_nd(points: jax.Array, k: int, iterations: int = 10, seed: int = 0):
 
     def step(centroids, _):
         # distance via the MXU: |p - c|^2 = |p|^2 - 2 p.c + |c|^2
-        dots = jnp.dot(points, centroids.T, preferred_element_type=jnp.float32)
+        dots = jnp.dot(points, centroids.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.sum(centroids**2, axis=1)[None, :] - 2.0 * dots
         labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
         sums = jax.ops.segment_sum(points, labels, num_segments=k)
@@ -60,7 +61,8 @@ def kmeans_nd(points: jax.Array, k: int, iterations: int = 10, seed: int = 0):
         return new_c, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iterations)
-    dots = jnp.dot(points, centroids.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(points, centroids.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.sum(centroids**2, axis=1)[None, :] - 2.0 * dots
     labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
     return centroids, labels

@@ -63,7 +63,7 @@ class LPIPS:
                 )
             for idx in idxs:
                 w, b = self.convs[idx]
-                h = lax.conv_general_dilated(h, w, (1, 1), "SAME")
+                h = lax.conv_general_dilated(h, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST)
                 h = h + b[None, :, None, None]
                 h = jnp.maximum(h, 0.0)
             feats.append(h)

@@ -176,7 +176,9 @@ def project_gaussians_ut(
 
     # sigma points -> camera space -> image points
     pts, w_mean, w_cov = _sigma_points(means, log_scales, quats)  # [C,7,3]
-    p_cam = jnp.einsum("ckj,ij->cki", pts, rot_w2c) + t_w2c[None, None, :]
+    p_cam = jnp.einsum(
+        "ckj,ij->cki", pts, rot_w2c, precision=jax.lax.Precision.HIGHEST
+    ) + t_w2c[None, None, :]
     img_pts, pt_valid = _project_points(
         p_cam, K, camera_model, radial, tangential, width, height
     )  # [C,7,2], [C,7]

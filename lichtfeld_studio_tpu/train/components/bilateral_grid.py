@@ -40,7 +40,7 @@ def slice_grid(grid: jax.Array, rgb: jax.Array) -> jax.Array:
     ys, xs = jnp.mgrid[0:h, 0:w]
     gx = xs.astype(jnp.float32) / max(w - 1, 1)
     gy = ys.astype(jnp.float32) / max(h - 1, 1)
-    gz = jnp.einsum("hwc,c->hw", rgb_c, _C2G)
+    gz = jnp.einsum("hwc,c->hw", rgb_c, _C2G, precision=jax.lax.Precision.HIGHEST)
 
     x = gx * (gw - 1)
     y = gy * (gh - 1)
@@ -72,7 +72,10 @@ def slice_grid(grid: jax.Array, rgb: jax.Array) -> jax.Array:
     c1 = c10 * (1 - fy) + c11 * fy
     affine = (c0 * (1 - fz) + c1 * fz).reshape(h, w, 3, 4)
 
-    out = jnp.einsum("hwck,hwk->hwc", affine[..., :3], rgb) + affine[..., 3]
+    out = jnp.einsum(
+        "hwck,hwk->hwc", affine[..., :3], rgb,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + affine[..., 3]
     return out
 
 

@@ -66,8 +66,14 @@ def apply_pose_opt(mode: str, params: dict, w2c: jnp.ndarray, uid: jnp.ndarray, 
     if mode == "direct":
         delta = params["embeddings"][uid]
     else:  # mlp
+        import jax
+
         h = params["embeddings"][uid]
+        # full f32: pose deltas are sub-pixel-sensitive
+        hp = jax.lax.Precision.HIGHEST
         for i in range(depth):
-            h = jnp.maximum(h @ params[f"w{i}"] + params[f"b{i}"], 0.0)
-        delta = h @ params["w_out"] + params["b_out"]
+            h = jnp.maximum(
+                jnp.matmul(h, params[f"w{i}"], precision=hp) + params[f"b{i}"], 0.0
+            )
+        delta = jnp.matmul(h, params["w_out"], precision=hp) + params["b_out"]
     return w2c @ _delta_to_transform(delta)
