@@ -130,18 +130,31 @@ def _forward_kernel(
     *,
     grid_w: int,
     tile_size: int,
+    aligned: bool,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
-    # pad_tile_ranges guarantees starts are CHUNK-aligned (see ops.tiles).
-    start = pl.multiple_of(tile_start_ref[t], CHUNK)
+    # aligned=False accepts UNALIGNED tile starts (the inference binning
+    # skips the chunk-aligned relayout entirely): DMA from the aligned
+    # window below `start` and mask the foreign prefix/suffix lanes.
+    # aligned=True is the training layout — a STATIC variant so the extra
+    # offset arithmetic/masking is compiled out of the train step.
     count = tile_count_ref[t]
-    n_chunks = pl.cdiv(count, CHUNK)
+    if aligned:
+        start = pl.multiple_of(tile_start_ref[t], CHUNK)
+        off = 0
+        base = start
+    else:
+        start = tile_start_ref[t]
+        off = jax.lax.rem(start, CHUNK)
+        base = pl.multiple_of(start - off, CHUNK)
+    end_rel = off + count
+    n_chunks = pl.cdiv(end_rel, CHUNK)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            feat_hbm.at[:, pl.ds(base + ci * CHUNK, CHUNK)],
             feat_s.at[slot],
             sem.at[slot],
         )
@@ -166,9 +179,12 @@ def _forward_kernel(
         f = feat_s[slot]  # [8, CHUNK]
 
         alpha, _ = _masked_alpha(f, pxc, pyc)  # [CHUNK, P]
-        in_range = (
-            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) < count - ci * CHUNK
-        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        if aligned:
+            in_range = lane < count - ci * CHUNK
+        else:
+            gi = ci * CHUNK + lane
+            in_range = (gi >= off) & (gi < end_rel)
         alpha = jnp.where(in_range, alpha, 0.0)
 
         log_om = jnp.log1p(-alpha)
@@ -428,10 +444,12 @@ def _pack8(packed16: jax.Array) -> jax.Array:
     )
 
 
-def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size):
+def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=True):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
-    kernel = functools.partial(_forward_kernel, grid_w=grid_w, tile_size=tile_size)
+    kernel = functools.partial(
+        _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -501,14 +519,14 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
     return dfeat_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _blend_gathered(
     packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap,
+    grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     out, _ = _blend_gathered_fwd(
         packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
-        grid_w, grid_h, tile_size, source_cap,
+        grid_w, grid_h, tile_size, source_cap, aligned,
     )
     return out
 
@@ -526,15 +544,18 @@ def _gather_stream(packed16, g_pad, valid):
 
 def _blend_gathered_fwd(
     packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap,
+    grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     tile_start, tile_count = tile_counts_pair
     feat_t = _gather_stream(packed16, g_pad, valid)
-    out = _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size)
+    out = _forward_call(
+        feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=aligned
+    )
     return out, (feat_t, layout_pos, n_touched, tile_start, tile_count, out)
 
 
-def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, res, g_out):
+def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_out):
+    assert aligned, "gradients require the chunk-aligned layout"
     """Backward: replay kernel -> per-instance grads [16, I_pad] -> reduce to
     per-gaussian [N, 16] via the sort-inverted layout permutation + segmented
     prefix sums (scatter-free; see ops.tiles._gather_feat_bwd for the cost
@@ -584,6 +605,7 @@ def blend_pallas_fused(
         grid_h,
         tile_size,
         assignment.source_cap,
+        assignment.chunk > 1,  # compact (inference) layout -> unaligned fwd
     )
     ts = tile_size
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)

@@ -65,6 +65,7 @@ def rasterize(
     with_depth: bool = False,
     mean2d_offset: jax.Array | None = None,
     projection: str = "auto",  # auto | ewa | ut
+    inference: bool = False,
 ) -> RenderOutput:
     """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
     the trainer can read d(loss)/d(mean2d) for ADC densification — the
@@ -74,7 +75,12 @@ def rasterize(
     `projection`: "ewa" is the fastgs frustum-clamped EWA path; "ut" the
     3DGUT unscented-transform path (required for distorted/fisheye/ortho
     cameras); "auto" picks UT whenever the camera is not a perfect pinhole
-    (matching trainer.cpp:654-659 fast_rasterize-vs-rasterize dispatch)."""
+    (matching trainer.cpp:654-659 fast_rasterize-vs-rasterize dispatch).
+
+    `inference=True` selects the forward-only binning layout (fused sort
+    key, no gradient permutation — see build_tile_assignment), the analogue
+    of the reference's inference-only viewer rasterizer (K25). Do not
+    differentiate through an inference render."""
     width, height = camera.width, camera.height
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
@@ -140,9 +146,12 @@ def rasterize(
         if mode == "pallas":
             from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas_fused
 
+            # inference: compact layout — the forward kernel DMAs from the
+            # aligned window under each unaligned start and masks foreign
+            # lanes, so the chunk-aligned relayout scatter is skipped
             assignment = build_tile_assignment(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
-                chunk_align=CHUNK,
+                chunk_align=1 if inference else CHUNK, need_grad=not inference,
             )
             image4, alpha = blend_pallas_fused(
                 pack_features(proj, with_depth),
@@ -155,7 +164,8 @@ def rasterize(
             )
         else:
             assignment = build_tile_assignment(
-                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap
+                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
+                need_grad=not inference,
             )
             feat = gather_instance_features(pack_features(proj, with_depth), assignment, proj.n_touched)
             image4, alpha = blend_tiles(

@@ -38,6 +38,7 @@ def render_view(
         jnp.asarray(bg_color, jnp.float32),
         mode=mode,
         instance_cap=instance_cap,
+        inference=True,
     )
     return np.clip(np.asarray(out.image), 0.0, 1.0)
 
@@ -114,6 +115,7 @@ def benchmark_fps(
             bg,
             mode=mode,
             instance_cap=instance_cap,
+            inference=True,
         ).image
     )
     # warmup

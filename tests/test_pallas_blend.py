@@ -82,3 +82,22 @@ def test_pallas_depth_mode(rng):
         np.asarray(out_p.depth), np.asarray(out_o.depth),
         atol=2e-2 * float(np.abs(np.asarray(out_o.depth)).max() + 1)
     )
+
+
+def test_pallas_inference_layout_matches_oracle(rng):
+    """inference=True uses the compact (unaligned-start) layout — the
+    forward kernel's aligned-window DMA + prefix masking must reproduce the
+    oracle image exactly like the training layout does."""
+    cam = make_camera(48, 32)
+    splats = make_random_splats(rng, n=96)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    out_o = rasterize(splats, cam.device_params(), bg, mode="oracle")
+    out_p = rasterize(
+        splats, cam.device_params(), bg, mode="pallas", inference=True, **KW
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_o.image), atol=4e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.alpha), np.asarray(out_o.alpha), atol=5e-5
+    )

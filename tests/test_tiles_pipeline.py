@@ -117,3 +117,42 @@ def test_pallas_layout_matches_compact(rng):
         np.testing.assert_array_equal(
             g1[s1[t] : s1[t] + c[t]], g2[s2[t] : s2[t] + c[t]]
         )
+
+
+def test_inference_binning_matches_training(rng):
+    """need_grad=False (fused single-key sort, no inverse permutation) must
+    produce the same per-tile sets and depth order (up to quantized-depth
+    ties) and the same rendered image as the training layout."""
+    cam = make_camera(64, 48)
+    splats = make_random_splats(rng, n=128)
+    proj = _proj(splats, cam)
+    for chunk in (1, 64):
+        a_tr = build_tile_assignment(
+            proj, grid_w=4, grid_h=3, instance_cap=4096, chunk_align=chunk
+        )
+        a_inf = build_tile_assignment(
+            proj, grid_w=4, grid_h=3, instance_cap=4096, chunk_align=chunk,
+            need_grad=False,
+        )
+        assert int(a_inf.n_instances) == int(a_tr.n_instances)
+        np.testing.assert_array_equal(
+            np.asarray(a_inf.tile_start), np.asarray(a_tr.tile_start))
+        np.testing.assert_array_equal(
+            np.asarray(a_inf.tile_count), np.asarray(a_tr.tile_count))
+        g_tr, g_inf = np.asarray(a_tr.gaussian_idx), np.asarray(a_inf.gaussian_idx)
+        depth = np.asarray(proj.depth)
+        starts, counts = np.asarray(a_tr.tile_start), np.asarray(a_tr.tile_count)
+        for t in range(12):
+            sl = slice(starts[t], starts[t] + counts[t])
+            assert set(g_tr[sl]) == set(g_inf[sl]), f"tile {t} sets differ"
+            d = depth[g_inf[sl]]
+            assert np.all(np.diff(d) >= -1e-5), f"tile {t} not depth sorted"
+
+    img_tr = rasterize(
+        splats, cam.device_params(), jnp.zeros(3), mode="tiles",
+        instance_cap=4096).image
+    img_inf = rasterize(
+        splats, cam.device_params(), jnp.zeros(3), mode="tiles",
+        instance_cap=4096, inference=True).image
+    np.testing.assert_allclose(
+        np.asarray(img_inf), np.asarray(img_tr), atol=2e-3)

@@ -39,7 +39,7 @@ def main():
         s, CameraParams(w2c=w2c, cam_position=cp,
                         K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
                         uid=jnp.asarray(0, jnp.int32), width=W, height=H),
-        jnp.zeros(3), mode=mode, instance_cap=2_500_000).image)
+        jnp.zeros(3), mode=mode, instance_cap=2_500_000, inference=True).image)
     cams = []
     for k in range(8):
         th = 2 * np.pi * k / 8
