@@ -51,7 +51,11 @@ from lichtfeld_studio_tpu.ops.projection import (
 
 CHUNK = 256  # instances per streamed slice
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
-FEAT_ROWS = 16  # backward per-instance gradient rows (full f32)
+# backward per-instance gradient rows: 0-5 geometry (f32), 6-7 the four
+# color-channel grads as bf16 pairs — symmetric with the forward stream
+# (colors enter as bf16), and it halves the writeback + reduction gather
+FEAT_ROWS = 8
+GRAD_COLS = 10  # unpacked per-instance gradient columns (6 geometry + 4 color)
 OUT_ROWS = 8
 
 
@@ -369,10 +373,9 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - 2).wait()
 
-        zeros = jnp.zeros((CHUNK,), jnp.float32)
-        dfeat_s[oslot, 0:8, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op, zeros, zeros])
-        dfeat_s[oslot, 8:12, :] = dcolor
-        dfeat_s[oslot, 12:16, :] = jnp.zeros((4, CHUNK), jnp.float32)
+        dfeat_s[oslot, 0:6, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op])
+        dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+        dfeat_s[oslot, 7, :] = pack_bf16_pair(dcolor[2], dcolor[3])
         dma_out(oslot, ci).start()
 
         t_new = jnp.min(
@@ -564,18 +567,34 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_o
     dfeat_t = _backward_call(
         feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size
     )
-    dfeat = dfeat_t.T  # [I_pad(+pad), 16]
+    dfeat = dfeat_t.T  # [I_pad(+pad), 8] (colors bf16-paired in cols 6-7)
     i_layout = dfeat.shape[0]
     live = layout_pos < i_layout
-    d_pre = jnp.where(
+    d8 = jnp.where(
         live[:, None], dfeat[jnp.minimum(layout_pos, i_layout - 1)], 0.0
-    )  # [source_cap, 16]
+    )  # [source_cap, 8]
+    dr, dg = unpack_bf16_pair(d8[:, 6])
+    db, da = unpack_bf16_pair(d8[:, 7])
+    d_pre = jnp.concatenate(
+        [d8[:, :6], jnp.stack([dr, dg, db, da], axis=1)], axis=1
+    )  # [source_cap, GRAD_COLS] full f32 for the prefix accumulation
     s = jnp.cumsum(d_pre, axis=0)
-    s0 = jnp.concatenate([jnp.zeros((1, FEAT_ROWS), jnp.float32), s], axis=0)
+    s0 = jnp.concatenate([jnp.zeros((1, GRAD_COLS), jnp.float32), s], axis=0)
     off = jnp.cumsum(n_touched) - n_touched
     end = jnp.minimum(off + n_touched, source_cap)
     off = jnp.minimum(off, source_cap)
-    dpacked = s0[end] - s0[off]  # [N, 16]
+    d10 = s0[end] - s0[off]  # [N, GRAD_COLS]
+    n = d10.shape[0]
+    # back to the pack_features row layout: 0-5 geometry, 8-11 colors
+    dpacked = jnp.concatenate(
+        [
+            d10[:, :6],
+            jnp.zeros((n, 2), jnp.float32),
+            d10[:, 6:10],
+            jnp.zeros((n, 4), jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 16]
     return (dpacked, None, None, None, None, None)
 
 
