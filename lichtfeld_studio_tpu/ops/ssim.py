@@ -11,7 +11,6 @@ like fused_ssim(..., "valid") used by the trainer (trainer.cpp:125)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 _WINDOW_SIZE = 11
 _SIGMA = 1.5
@@ -28,20 +27,23 @@ def _gaussian_window() -> jnp.ndarray:
 def _blur_valid(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 11x11 Gaussian blur, valid padding. img: [H, W, C].
 
-    Full-f32 convs: TPU's default conv precision runs bf16 passes, and the
-    variance terms (blur(x^2) - mu^2) cancel catastrophically under bf16 —
-    measured SSIM values > 1.3 on TPU before pinning the precision."""
+    Implemented as explicit shifted adds in f32, NOT lax.conv: TPU's default
+    conv precision runs bf16 passes, and the variance terms
+    (blur(x^2) - mu^2) cancel catastrophically under bf16 — measured SSIM
+    values > 1.3 on TPU. Precision.HIGHEST convs are exact but slow (33.7 ms
+    fwd at 1296x840 vs 2.6 ms for the shifted adds, identical values): an
+    11-tap depthwise conv maps terribly onto the 128x128 MXU, while 11
+    scaled adds are pure VPU streams."""
     g = _gaussian_window()
-    x = img.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
-    kh = g.reshape(1, 1, _WINDOW_SIZE, 1)
-    kw = g.reshape(1, 1, 1, _WINDOW_SIZE)
-    x = lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", precision=lax.Precision.HIGHEST
-    )
-    x = lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", precision=lax.Precision.HIGHEST
-    )
-    return x[:, 0].transpose(1, 2, 0)  # [H-10, W-10, C]
+    h, w = img.shape[0], img.shape[1]
+    ho, wo = h - (_WINDOW_SIZE - 1), w - (_WINDOW_SIZE - 1)
+    x = g[0] * img[0:ho]
+    for k in range(1, _WINDOW_SIZE):
+        x = x + g[k] * img[k : ho + k]
+    out = g[0] * x[:, 0:wo]
+    for k in range(1, _WINDOW_SIZE):
+        out = out + g[k] * x[:, k : wo + k]
+    return out  # [H-10, W-10, C]
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
