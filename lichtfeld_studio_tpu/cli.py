@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
     # export
     p.add_argument("--sog", action="store_true", dest="save_sog")
     p.add_argument("--sog-iterations", type=int, default=None)
+    # metrics / resume
+    p.add_argument("--lpips-weights", type=str, default=None,
+                   help="VGG-LPIPS weights npz (enables the lpips column)")
+    p.add_argument("--save-state-every", type=int, default=None,
+                   help="snapshot full training state every N iters")
+    p.add_argument("--resume", type=str, default="",
+                   help="resume from a state snapshot directory")
     # viewer / render
     p.add_argument("-v", "--view", type=str, default="", help="render a PLY headlessly")
     p.add_argument("--render-output", type=str, default="render.png")
@@ -135,6 +142,8 @@ _OVERRIDE_MAP = {
     "init_rho": "init_rho",
     "sog_iterations": "sog_iterations",
     "instance_cap": "instance_cap",
+    "lpips_weights": "lpips_weights",
+    "save_state_every": "save_state_every",
     "save_eval_images": "enable_save_eval_images",
     "prune_opacity": "prune_opacity",
     "grow_scale3d": "grow_scale3d",
@@ -198,7 +207,8 @@ def parse_args_and_params(argv: list[str] | None = None) -> TrainingParameters:
         max_width=args.max_width,
     )
     return TrainingParameters(
-        dataset=ds, optimization=opt, ply_path=args.view, init_ply=args.init_ply
+        dataset=ds, optimization=opt, ply_path=args.view, init_ply=args.init_ply,
+        resume=args.resume,
     )
 
 

@@ -87,6 +87,13 @@ class OptimizationParameters:
     init_rho: float = 5e-4
     prune_ratio: float = 0.6
 
+    # LPIPS VGG weights (npz, see ops/lpips.py); "" disables LPIPS like the
+    # reference's missing weights/lpips_vgg.pt (metrics.cpp:125-128)
+    lpips_weights: str = ""
+    # Periodic full training-state snapshots for --resume (0 = disabled;
+    # capability beyond the reference, whose checkpoints are exports only)
+    save_state_every: int = 0
+
     config_file: str = ""
 
     # ------------------------------------------------------------------
@@ -139,6 +146,7 @@ class TrainingParameters:
     optimization: OptimizationParameters = field(default_factory=OptimizationParameters)
     ply_path: str = ""
     init_ply: Optional[str] = None
+    resume: str = ""  # Orbax state snapshot directory to resume from
 
     def to_json(self) -> dict:
         return {

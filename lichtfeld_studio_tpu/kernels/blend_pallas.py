@@ -51,10 +51,14 @@ from lichtfeld_studio_tpu.ops.projection import (
 
 CHUNK = 256  # instances per streamed slice
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
-# backward per-instance gradient rows: 0-5 geometry (f32), 6-7 the four
-# color-channel grads as bf16 pairs — symmetric with the forward stream
-# (colors enter as bf16), and it halves the writeback + reduction gather
-FEAT_ROWS = 8
+# backward per-instance gradient rows — ALL as bf16 pairs (0 mx|my, 1 ca|cb,
+# 2 cc|op, 3 r|g, 4 b|aux): halves the writeback DMA and shrinks the
+# slot-keyed reduction sort from 9 to 6 operand arrays. Per-instance grad
+# contributions are bf16-quantized but summed per-gaussian in f32; with <=32
+# instances per gaussian the summed relative error stays ~0.4% — far below
+# SGD gradient noise (the straight-through treatment the forward colors
+# already get).
+GRAD_ROWS = 5
 GRAD_COLS = 10  # unpacked per-instance gradient columns (6 geometry + 4 color)
 OUT_ROWS = 8
 
@@ -120,6 +124,21 @@ def _prefix_sum_rows(x):
     while shift < n:
         shifted = jnp.pad(x, ((shift, 0), (0, 0)))[:n]
         x = x + shifted
+        shift *= 2
+    return x
+
+
+def _prefix_prod_rows(x):
+    """Inclusive prefix PRODUCT along axis 0 — the front-to-back
+    transmittance recurrence computed directly as shift-multiplies
+    (identical math to the reference's serial (1-alpha) products,
+    kernels_forward.cuh:398-409) instead of log/exp round-trips: saves two
+    transcendental passes per chunk element."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        shifted = jnp.pad(x, ((shift, 0), (0, 0)), constant_values=1.0)[:n]
+        x = x * shifted
         shift *= 2
     return x
 
@@ -191,11 +210,11 @@ def _forward_kernel(
             in_range = (gi >= off) & (gi < end_rel)
         alpha = jnp.where(in_range, alpha, 0.0)
 
-        log_om = jnp.log1p(-alpha)
-        prefix_incl = _prefix_sum_rows(log_om)  # [CHUNK, P]
-        p_incl = t_carry * jnp.exp(prefix_incl)
+        prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
+        p_incl = t_carry * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        t_before = t_carry * jnp.exp(prefix_incl - log_om)
+        # exclusive product = inclusive shifted down one row (leading 1)
+        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:CHUNK]
         w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
@@ -234,9 +253,9 @@ def _backward_kernel(
     feat_hbm,  # [8, I+pad] ANY (colors bf16-packed in rows 6-7)
     gout_ref,  # [1, 8, P] VMEM — cotangents (rows 0-3 channels, row 4 T_final)
     tfin_ref,  # [1, 1, P] VMEM — forward T_final
-    dfeat_hbm,  # out [16, I+pad] ANY
-    feat_s,  # scratch [2, 16, CHUNK]
-    dfeat_s,  # scratch [2, 16, CHUNK] (double-buffered writeback)
+    dfeat_hbm,  # out [GRAD_ROWS, I+pad] ANY (bf16 pairs)
+    feat_s,  # scratch [2, 8, CHUNK]
+    dfeat_s,  # scratch [2, GRAD_ROWS, CHUNK] (double-buffered writeback)
     sem,  # (2,) DMA semaphores
     outsem,  # (2,) DMA semaphores for writeback
     *,
@@ -309,11 +328,10 @@ def _backward_kernel(
         )
         alpha = jnp.where(in_range_col, alpha, 0.0)
 
-        log_om = jnp.log1p(-alpha)
-        prefix_incl = _prefix_sum_rows(log_om)
-        p_incl = t_carry * jnp.exp(prefix_incl)
+        prod_incl = _prefix_prod_rows(1.0 - alpha)
+        p_incl = t_carry * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        t_before = t_carry * jnp.exp(prefix_incl - log_om)
+        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:CHUNK]
         w = jnp.where(counted, t_before * alpha, 0.0)
 
         raw_colors = _unpack_colors(f)  # [4, CHUNK]
@@ -373,9 +391,11 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - 2).wait()
 
-        dfeat_s[oslot, 0:6, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op])
-        dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
-        dfeat_s[oslot, 7, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+        dfeat_s[oslot, 0, :] = pack_bf16_pair(d_mx, d_my)
+        dfeat_s[oslot, 1, :] = pack_bf16_pair(d_ca, d_cb)
+        dfeat_s[oslot, 2, :] = pack_bf16_pair(d_cc, d_op)
+        dfeat_s[oslot, 3, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+        dfeat_s[oslot, 4, :] = pack_bf16_pair(dcolor[2], dcolor[3])
         dma_out(oslot, ci).start()
 
         t_new = jnp.min(
@@ -405,7 +425,7 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - 2).wait()
 
-        dfeat_s[oslot, :, :] = jnp.zeros((FEAT_ROWS, CHUNK), jnp.float32)
+        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS, CHUNK), jnp.float32)
         dma_out(oslot, ci).start()
         return ci + 1
 
@@ -504,12 +524,12 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
-                pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, GRAD_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, feat_t.shape[1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, feat_t.shape[1]), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -524,11 +544,11 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _blend_gathered(
-    packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+    packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     out, _ = _blend_gathered_fwd(
-        packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+        packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
         grid_w, grid_h, tile_size, source_cap, aligned,
     )
     return out
@@ -546,7 +566,7 @@ def _gather_stream(packed16, g_pad, valid):
 
 
 def _blend_gathered_fwd(
-    packed16, g_pad, layout_pos, valid, n_touched, tile_counts_pair,
+    packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     tile_start, tile_count = tile_counts_pair
@@ -554,36 +574,31 @@ def _blend_gathered_fwd(
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=aligned
     )
-    return out, (feat_t, layout_pos, n_touched, tile_start, tile_count, out)
+    return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
 
 
 def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_out):
     assert aligned, "gradients require the chunk-aligned layout"
-    """Backward: replay kernel -> per-instance grads [16, I_pad] -> reduce to
-    per-gaussian [N, 16] via the sort-inverted layout permutation + segmented
-    prefix sums (scatter-free; see ops.tiles._gather_feat_bwd for the cost
+    """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
+    per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
+    pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
+    (scatter-free; see ops.tiles.sort_rows_to_slot_order for the cost
     analysis). The bf16 color quantizer is straight-through."""
-    feat_t, layout_pos, n_touched, tile_start, tile_count, out = res
+    from lichtfeld_studio_tpu.ops.tiles import segment_sum_by_prefix, sort_rows_to_slot_order
+
+    feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out = res
     dfeat_t = _backward_call(
         feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size
     )
-    dfeat = dfeat_t.T  # [I_pad(+pad), 8] (colors bf16-paired in cols 6-7)
-    i_layout = dfeat.shape[0]
-    live = layout_pos < i_layout
-    d8 = jnp.where(
-        live[:, None], dfeat[jnp.minimum(layout_pos, i_layout - 1)], 0.0
-    )  # [source_cap, 8]
-    dr, dg = unpack_bf16_pair(d8[:, 6])
-    db, da = unpack_bf16_pair(d8[:, 7])
-    d_pre = jnp.concatenate(
-        [d8[:, :6], jnp.stack([dr, dg, db, da], axis=1)], axis=1
+    i_pad = slot_layout.shape[0]
+    cols = sort_rows_to_slot_order(
+        [dfeat_t[k, :i_pad] for k in range(GRAD_ROWS)], slot_layout, valid, source_cap
+    )  # 5 x [source_cap] bf16-pair words
+    pairs = [unpack_bf16_pair(c) for c in cols]
+    d_pre = jnp.stack(
+        [v for pair in pairs for v in pair], axis=1
     )  # [source_cap, GRAD_COLS] full f32 for the prefix accumulation
-    s = jnp.cumsum(d_pre, axis=0)
-    s0 = jnp.concatenate([jnp.zeros((1, GRAD_COLS), jnp.float32), s], axis=0)
-    off = jnp.cumsum(n_touched) - n_touched
-    end = jnp.minimum(off + n_touched, source_cap)
-    off = jnp.minimum(off, source_cap)
-    d10 = s0[end] - s0[off]  # [N, GRAD_COLS]
+    d10 = segment_sum_by_prefix(d_pre, n_touched, source_cap)  # [N, GRAD_COLS]
     n = d10.shape[0]
     # back to the pack_features row layout: 0-5 geometry, 8-11 colors
     dpacked = jnp.concatenate(
@@ -616,7 +631,7 @@ def blend_pallas_fused(
     out = _blend_gathered(
         packed16,
         assignment.gaussian_idx,
-        assignment.layout_pos,
+        assignment.slot_layout,
         assignment.instance_valid,
         n_touched,
         (assignment.tile_start, assignment.tile_count),

@@ -111,6 +111,7 @@ def project_gaussians(
     tile_size: int = 16,
     near: float = NEAR_PLANE,
     far: float = FAR_PLANE,
+    antialiasing: bool = False,
 ) -> ProjectedSplats:
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     grid_w = -(-width // tile_size)
@@ -177,6 +178,14 @@ def project_gaussians(
     valid &= det >= 1e-8
     safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
     conic = jnp.stack([c_yy / safe_det, -c_xy / safe_det, c_xx / safe_det], axis=-1)
+
+    if antialiasing:
+        # Mip-Splatting compensation (reference rasterizer.cpp:52,181
+        # calc_compensations): scale opacity by sqrt(det(cov2d)/det(cov2d+dilation))
+        det_raw = (c_xx - DILATION) * (c_yy - DILATION) - c_xy * c_xy
+        comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / safe_det)
+        opacity = opacity * comp
+        valid &= opacity >= MIN_ALPHA_THRESHOLD
 
     mean2d = jnp.stack([x * fx + cx, y * fy + cy], axis=-1)
 

@@ -65,6 +65,7 @@ def rasterize(
     with_depth: bool = False,
     mean2d_offset: jax.Array | None = None,
     projection: str = "auto",  # auto | ewa | ut
+    antialiasing: bool = False,
     inference: bool = False,
 ) -> RenderOutput:
     """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
@@ -111,6 +112,7 @@ def rasterize(
             camera_model=camera.camera_model,
             radial=camera.radial,
             tangential=camera.tangential,
+            antialiasing=antialiasing,
         )
     else:
         proj = project_gaussians(
@@ -128,6 +130,7 @@ def rasterize(
             width=width,
             height=height,
             tile_size=tile_size,
+            antialiasing=antialiasing,
         )
     if mean2d_offset is not None:
         import dataclasses

@@ -46,16 +46,18 @@ from lichtfeld_studio_tpu.ops.projection import ProjectedSplats
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gaussian_idx", "layout_pos", "tile_start", "tile_count", "n_instances", "instance_valid"],
+    data_fields=["gaussian_idx", "slot_layout", "tile_start", "tile_count", "n_instances", "instance_valid"],
     meta_fields=["chunk", "source_cap"],
 )
 @dataclass
 class TileAssignment:
     gaussian_idx: jax.Array  # [I] int32 — owning gaussian per laid-out instance
-    layout_pos: jax.Array  # [source_cap] int32 — layout position of each
-    #   pre-sort slot (>= len(gaussian_idx) when dropped); the gradient path's
-    #   permutation inverse, built with a sort (scatters are ~10x slower than
-    #   sorts on TPU)
+    slot_layout: jax.Array  # [I] int32 — pre-sort expansion slot per layout
+    #   position (source_cap sentinel for slack/filler positions). Every real
+    #   slot in [0, source_cap) appears exactly once, so the gradient path can
+    #   recover pre-sort (per-gaussian-contiguous) order by ONE value-sort of
+    #   the kernel's per-instance gradient rows keyed on this array — no
+    #   random gather, no scatter.
     tile_start: jax.Array  # [T] int32 — first instance index per tile
     tile_count: jax.Array  # [T] int32 — real instances per tile
     n_instances: jax.Array  # [] int32 — true instance total (may exceed I)
@@ -147,10 +149,17 @@ def build_tile_assignment(
     offsets = jnp.cumsum(n_touched) - n_touched  # exclusive prefix sum [C]
     total = (offsets[-1] + n_touched[-1]).astype(jnp.int32)
 
-    # --- instance slot -> owning gaussian (scatter-marker + cumsum) ---
+    # --- instance slot -> owning gaussian (scatter-marker + cumsum), and
+    # slot -> rank-within-segment WITHOUT the offsets[g] gather (a [I] gather
+    # from a [C] table costs ~19 ms at 2.5M on v5e; a second scatter+cumsum
+    # is ~3 ms): scatter each segment's start-position JUMP at its start and
+    # prefix-sum — the running sum IS the owning segment's start offset ---
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
-    g = _owner_from_offsets(offsets, instance_cap)
-    rank = slot - offsets[g]
+    marker = jnp.zeros((instance_cap,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.cumsum(marker) - 1
+    # segment start via running max of marked positions (no second scatter)
+    seg_start = jax.lax.cummax(jnp.where(marker > 0, slot, 0))
+    rank = slot - seg_start
 
     # --- packed per-gaussian int payload, ONE row gather; bit-packed to 4
     # words (gather cost scales with row bytes):
@@ -190,43 +199,44 @@ def build_tile_assignment(
     # with random indices cost ~14 ns/elem on TPU, sort operands ~1).
     # need_grad additionally carries the pre-sort slot for the gradient
     # path's permutation inverse (see gather_instance_features) ---
+    # is_stable=False on every sort: keys are unique (or ties are
+    # semantically interchangeable), and stability costs an extra iota
+    # tiebreaker operand per sort on TPU
     if fused_key:
         key = (tile << depth_keep) | jax.lax.shift_right_logical(
             pl[:, 2], 31 - depth_keep
         )
         key_sorted, slot_sorted, g_sorted = jax.lax.sort(
-            (key, slot, g), dimension=0, num_keys=1
+            (key, slot, g), dimension=0, num_keys=1, is_stable=False
         )
         tile_sorted = key_sorted >> depth_keep
     else:
         tile_sorted, _, slot_sorted, g_sorted = jax.lax.sort(
-            (tile, pl[:, 2], slot, g), dimension=0, num_keys=2
+            (tile, pl[:, 2], slot, g), dimension=0, num_keys=2, is_stable=False
         )
     valid_sorted = tile_sorted < num_tiles
     g_sorted = jnp.where(valid_sorted, g_sorted, 0)
 
-    # --- per-tile counts / compact starts. Isolated, the MXU one-hot
-    # histogram beats segment_sum ~3x (7.8 vs 20.6 ms at a 2.5M cap), but
-    # inside the differentiated train step its big early matmul degrades
-    # XLA's whole-step schedule — so the histogram is inference-only ---
+    # --- per-tile compact starts/counts. The instance buffer is sorted by
+    # tile, so a binary search with num_tiles+1 queries (tiny) replaces a
+    # multi-million-update segment_sum (~23 ms -> ~2 ms at a 2.5M cap). The
+    # inference path keeps the (pre-sort) MXU one-hot histogram ---
     if need_grad:
-        counts = jax.ops.segment_sum(
-            valid_sorted.astype(jnp.int32), tile_sorted, num_segments=num_tiles + 1
-        )[:num_tiles]
+        starts_q = jnp.searchsorted(
+            tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)  # [T+1]; starts_q[T] == n_valid instances
+        counts = starts_q[1:] - starts_q[:-1]
+        start_compact = starts_q[:num_tiles]
+        n_valid = starts_q[num_tiles]
     else:
         counts = _mxu_histogram(tile, num_tiles + 1)[:num_tiles]
-    start_compact = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        start_compact = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        n_valid = start_compact[num_tiles - 1] + counts[num_tiles - 1]
 
     if chunk_align <= 1:
-        j_idx = jnp.arange(instance_cap, dtype=jnp.int32)
-        if need_grad:
-            pos_compact = jnp.where(valid_sorted, j_idx, instance_cap)
-            _, layout_pos = jax.lax.sort_key_val(slot_sorted, pos_compact)
-        else:
-            layout_pos = j_idx  # unused without gradients
         return TileAssignment(
             gaussian_idx=g_sorted,
-            layout_pos=layout_pos,
+            slot_layout=slot_sorted,
             tile_start=start_compact,
             tile_count=counts,
             n_instances=total,
@@ -235,40 +245,73 @@ def build_tile_assignment(
             source_cap=instance_cap,
         )
 
-    # --- CHUNK-aligned relayout: ONE monotone-index permutation scatter of
-    # the (already sort-carried) owning-gaussian id, shifted by +1 so the
-    # scatter's zero init doubles as the validity mask — no post-scatter
-    # random gather needed ---
+    # --- CHUNK-aligned relayout as ONE value-sort (TPU scatters are ~10x
+    # slower than sorts, PERFNOTES). Each real instance gets its padded
+    # position arithmetically; per-tile slack positions are claimed by
+    # synthetic FILLER elements; overflow-dropped instances park in the
+    # region past sum(padded_counts) (never read by the kernel, but their
+    # slots must stay present for the gradient path's slot-sort). Together
+    # the positions form an EXACT permutation of [0, i_pad), so sorting
+    # (position, gaussian+1, slot) yields the dense padded layout directly —
+    # sort rank == position ---
     padded_counts = -(-counts // chunk_align) * chunk_align
     new_start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
-    i_pad = instance_cap + num_tiles * chunk_align  # static worst case
+    sum_padded = new_start[num_tiles - 1] + padded_counts[num_tiles - 1]
+    n_fill = num_tiles * (chunk_align - 1)
+    i_pad = instance_cap + n_fill
 
+    # Sorted slot j of tile t sits at new_start[t] + (j - start_compact[t])
+    # = j + delta[t], where delta[t] = total CHUNK-slack of all earlier
+    # tiles. Computed with ZERO gathers/scatters from the sorted tile run
+    # structure alone: delta increments at each tile boundary by the slack
+    # of the run that just ended, (-L) mod chunk with L the previous run
+    # length — run starts tracked by an elementwise boundary test + cummax.
     j = jnp.arange(instance_cap, dtype=jnp.int32)
-    ts = jnp.minimum(tile_sorted, num_tiles - 1)
-    # sorted slot j of tile t sits at new_start[t] + (j - start_compact[t])
-    pos = new_start[ts] + (j - start_compact[ts])
-    pos = jnp.where(valid_sorted, pos, i_pad)  # dropped by scatter
-    g_pad1 = (
-        jnp.zeros((i_pad,), jnp.int32)
-        .at[pos]
-        .set(g_sorted + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), tile_sorted[1:] != tile_sorted[:-1]]
     )
-    valid_pad = g_pad1 > 0
-    g_pad = jnp.maximum(g_pad1 - 1, 0)
-    if need_grad:
-        # permutation inverse for the gradient path: slot_sorted is a
-        # permutation of [0, instance_cap), so sorting it carries the padded
-        # position to pre-slot order
-        _, layout_pos = jax.lax.sort_key_val(slot_sorted, pos)
-    else:
-        layout_pos = jnp.arange(instance_cap, dtype=jnp.int32)  # unused
+    run_start = jax.lax.cummax(jnp.where(boundary, j, 0))  # current run's start
+    prev_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), run_start[:-1]])
+    prev_len = j - prev_start  # at a boundary: length of the run that ended
+    inc = jnp.where(boundary & (j > 0), (-prev_len) % chunk_align, 0)
+    delta_run = jnp.cumsum(inc)
+    # invalid instances are contiguous at the end after the sort, so their
+    # overflow-region rank is just j - n_valid
+    pos_real = jnp.where(valid_sorted, j + delta_run, sum_padded + (j - n_valid))
+
+    # Filler elements claim each tile's slack positions — built arithmetically
+    # on a [T, chunk-1] grid (zero gathers); excess fillers take the tail
+    # positions after the overflow-parked invalid instances.
+    a = chunk_align - 1
+    k = jnp.arange(a, dtype=jnp.int32)[None, :]  # [1, A]
+    slack = (padded_counts - counts)[:, None]  # [T, 1], in [0, chunk)
+    fvalid = k < slack
+    inv_per_tile = a - slack[:, 0]
+    inv_start = (jnp.cumsum(inv_per_tile) - inv_per_tile)[:, None]
+    n_inv_real = instance_cap - n_valid
+    pos_fill = jnp.where(
+        fvalid,
+        (new_start + counts)[:, None] + k,
+        sum_padded + n_inv_real + inv_start + (k - slack),
+    ).reshape(-1)
+
+    pos_all = jnp.concatenate([pos_real, pos_fill])
+    gval = jnp.concatenate(
+        [jnp.where(valid_sorted, g_sorted + 1, 0), jnp.zeros((n_fill,), jnp.int32)]
+    )
+    slotval = jnp.concatenate(
+        [slot_sorted, jnp.full((n_fill,), instance_cap, jnp.int32)]
+    )
+    _, gv, slot_layout = jax.lax.sort(
+        (pos_all, gval, slotval), dimension=0, num_keys=1, is_stable=False
+    )
     return TileAssignment(
-        gaussian_idx=g_pad,
-        layout_pos=layout_pos,
+        gaussian_idx=jnp.maximum(gv - 1, 0),
+        slot_layout=slot_layout,
         tile_start=new_start,
         tile_count=counts,
         n_instances=total,
-        instance_valid=valid_pad,
+        instance_valid=gv > 0,
         chunk=chunk_align,
         source_cap=instance_cap,
     )
@@ -304,46 +347,68 @@ def pack_features(proj: ProjectedSplats, with_depth: bool = False) -> jax.Array:
     )
 
 
+def sort_rows_to_slot_order(
+    columns: list[jax.Array],  # each [I_layout]
+    slot_layout: jax.Array,  # [I_layout]
+    valid: jax.Array,  # [I_layout] bool
+    source_cap: int,
+) -> list[jax.Array]:
+    """Per-instance gradient columns (layout order) -> pre-sort slot order.
+
+    The reference backward accumulates per-gaussian gradients with warp
+    atomics (kernels_backward.cuh); XLA's generic transpose would be a random
+    scatter-add (~600 ms at 4M instances on v5e — TPU scatters run ~10x
+    slower than sorts). Instead: every slot in [0, source_cap) appears
+    exactly once in slot_layout (slack/filler positions carry the sentinel
+    source_cap), so ONE value-sort keyed on slot_layout puts the rows in
+    pre-sort order at positions [0, source_cap) — where each gaussian's
+    instances are contiguous and reduce with prefix sums. Rows are
+    select-zeroed by validity BEFORE the sort (NaN-safe: slack rows are
+    uninitialized kernel output)."""
+    cols = [jnp.where(valid, c, jnp.zeros((), c.dtype)) for c in columns]
+    sorted_all = jax.lax.sort(
+        (slot_layout, *cols), dimension=0, num_keys=1, is_stable=False
+    )
+    return [c[:source_cap] for c in sorted_all[1:]]
+
+
+def segment_sum_by_prefix(d_pre: jax.Array, n_touched: jax.Array, source_cap: int) -> jax.Array:
+    """Per-gaussian segment sums of slot-ordered rows as prefix differences
+    at the expansion offsets. Expansion segments are contiguous
+    (end[n] == off[n+1]), so ONE gather of the prefix array at the extended
+    offsets serves both ends of every difference. f32 precision note:
+    gradient prefix sums are signed random walks, so |S| stays ~sqrt(I)-scale
+    and the difference error is O(eps * |S|) — far below gradient noise."""
+    f = d_pre.shape[-1]
+    s = jnp.cumsum(d_pre, axis=0)
+    s0 = jnp.concatenate([jnp.zeros((1, f), d_pre.dtype), s], axis=0)
+    ends = jnp.cumsum(n_touched)  # inclusive: off[n+1]
+    off_ext = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]), source_cap
+    )  # [N+1]
+    q = s0[off_ext]  # [N+1, F]
+    return q[1:] - q[:-1]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_feat(source_cap, packed, g_pad, layout_pos, valid, n_touched):
+def _gather_feat(source_cap, packed, g_pad, slot_layout, valid, n_touched):
     feat = packed[g_pad]
     return jnp.where(valid[:, None], feat, 0.0)
 
 
-def _gather_feat_fwd(source_cap, packed, g_pad, layout_pos, valid, n_touched):
-    out = _gather_feat(source_cap, packed, g_pad, layout_pos, valid, n_touched)
-    return out, (layout_pos, n_touched)
+def _gather_feat_fwd(source_cap, packed, g_pad, slot_layout, valid, n_touched):
+    out = _gather_feat(source_cap, packed, g_pad, slot_layout, valid, n_touched)
+    return out, (slot_layout, valid, n_touched)
 
 
 def _gather_feat_bwd(source_cap, res, dfeat):
-    """The reference backward accumulates per-gaussian gradients with warp
-    atomics (kernels_backward.cuh); XLA's generic transpose would be a random
-    scatter-add (~600 ms at 4M instances on v5e — TPU scatters run ~10x
-    slower than gathers/sorts). Scatter-free alternative exploiting that in
-    PRE-SORT expansion order every gaussian's instances are contiguous:
-
-      1. gather the cotangent rows back to pre-sort order through
-         `layout_pos` (the sort-inverted layout permutation),
-      2. inclusive prefix sum along the instance axis,
-      3. per-gaussian segment sums as prefix differences at the expansion
-         offsets.
-
-    f32 prefix-difference precision note: gradient prefix sums are signed
-    random walks, so |S| stays ~sqrt(I)-scale and the difference error is
-    O(eps * |S|) — far below gradient noise."""
-    layout_pos, n_touched = res
+    slot_layout, valid, n_touched = res
     f = dfeat.shape[-1]
-    i_layout = dfeat.shape[0]
-    live = layout_pos < i_layout
-    d_pre = jnp.where(
-        live[:, None], dfeat[jnp.minimum(layout_pos, i_layout - 1)], 0.0
-    )  # [source_cap, F] — dropped/slack slots contribute zero (select: NaN-safe)
-    s = jnp.cumsum(d_pre, axis=0)
-    s0 = jnp.concatenate([jnp.zeros((1, f), dfeat.dtype), s], axis=0)
-    off = jnp.cumsum(n_touched) - n_touched
-    end = jnp.minimum(off + n_touched, source_cap)
-    off = jnp.minimum(off, source_cap)
-    dpacked = s0[end] - s0[off]
+    cols = sort_rows_to_slot_order(
+        [dfeat[:, k] for k in range(f)], slot_layout, valid, source_cap
+    )
+    d_pre = jnp.stack(cols, axis=1)  # [source_cap, F]
+    dpacked = segment_sum_by_prefix(d_pre, n_touched, source_cap)
     return (dpacked, None, None, None, None)
 
 
@@ -355,15 +420,15 @@ def gather_instance_features(
 ) -> jax.Array:
     """One differentiable row gather [I, 16] of the packed per-gaussian
     features into instance layout, with a custom VJP that turns the gradient
-    scatter-add into an inverse-permutation gather + segmented prefix sums
-    (see _gather_feat_bwd). Rows are select-masked by validity so
+    scatter-add into a slot-keyed value sort + segmented prefix sums
+    (see sort_rows_to_slot_order). Rows are select-masked by validity so
     uninitialized cotangents at slack slots can never reach the gaussian
     gradients."""
     return _gather_feat(
         assignment.source_cap,
         packed,
         assignment.gaussian_idx,
-        assignment.layout_pos,
+        assignment.slot_layout,
         assignment.instance_valid,
         n_touched,
     )

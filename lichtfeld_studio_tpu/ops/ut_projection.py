@@ -147,6 +147,7 @@ def project_gaussians_ut(
     near: float = NEAR_PLANE,
     far: float = FAR_PLANE,
     eps2d: float = EPS2D,
+    antialiasing: bool = False,
 ) -> ProjectedSplats:
     if radial is None:
         radial = jnp.zeros((0,), jnp.float32)
@@ -198,6 +199,14 @@ def project_gaussians_ut(
     valid &= det >= 1e-8
     safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
     conic = jnp.stack([c_yy / safe_det, -c_xy / safe_det, c_xx / safe_det], axis=-1)
+
+    if antialiasing:
+        # compensation factor vs the un-dilated covariance
+        # (ProjectionUT3DGSFused.cu compensations output; rasterizer.cpp:181)
+        det_raw = (c_xx - eps2d) * (c_yy - eps2d) - c_xy * c_xy
+        comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / safe_det)
+        opacity = opacity * comp
+        valid &= opacity >= MIN_ALPHA_THRESHOLD
 
     # tile bounds + exact contribution mask (shared with the EWA path)
     power_threshold = jnp.log(jnp.maximum(opacity, MIN_ALPHA_THRESHOLD) * MIN_ALPHA_THRESHOLD_RCP)

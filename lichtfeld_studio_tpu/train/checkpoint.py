@@ -32,6 +32,20 @@ def save_checkpoint(state: TrainState, path: str | Path) -> None:
     ckptr.save(path, {"state": state, "meta": meta}, force=True)
 
 
+def peek_capacity(path: str | Path) -> int | None:
+    """Gaussian capacity stored in a snapshot (leaf shape of splats.means)
+    without restoring it — lets --resume adopt the grown capacity bucket
+    before building the restore template."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        meta = ckptr.metadata(Path(path).absolute())
+        return int(meta["state"]["splats"]["means"].shape[0])
+    except Exception:
+        return None
+
+
 def load_checkpoint(path: str | Path, template: TrainState) -> TrainState:
     """Restore into the shapes/dtypes of `template` (build it with the same
     configuration used at save time)."""

@@ -48,6 +48,9 @@ class MetricsEvaluator:
     instance_cap: int = 2**20
     k_max: int = 1024
     lpips_weights: Optional[str] = None
+    render_mode: str = "RGB"  # RGB/D/ED/RGB_D/RGB_ED (rasterizer.cpp:364-394)
+    projection: str = "auto"
+    antialiasing: bool = False
     _rows: list[EvalMetrics] = field(default_factory=list)
 
     def __post_init__(self):
@@ -68,6 +71,7 @@ class MetricsEvaluator:
         img_dir = self.output_dir / f"eval_step_{iteration}"
         if self.save_images:
             img_dir.mkdir(parents=True, exist_ok=True)
+        with_depth = self.render_mode != "RGB"
         for k in range(len(self.dataset)):
             cam = self.dataset[k]
             gt = jnp.asarray(cam.load_image())
@@ -78,6 +82,9 @@ class MetricsEvaluator:
                 mode=self.raster_mode,
                 instance_cap=self.instance_cap,
                 k_max=self.k_max,
+                with_depth=with_depth,
+                projection=self.projection,
+                antialiasing=self.antialiasing,
             )
             pred = jnp.clip(out.image, 0.0, 1.0)
             psnrs.append(float(psnr_fn(pred, gt)))
@@ -91,6 +98,18 @@ class MetricsEvaluator:
                     str(img_dir / f"{Path(cam.image_name).stem}_compare.png"),
                     side_by_side(np.asarray(gt), np.asarray(pred)),
                 )
+                if with_depth:
+                    # depth colormap dump per render mode (metrics.cpp:454-480)
+                    from lichtfeld_studio_tpu.ops.rasterize import apply_render_mode
+
+                    frame = np.asarray(apply_render_mode(out, self.render_mode))
+                    d = frame[..., -1] if frame.shape[-1] in (1, 4) else frame[..., 0]
+                    lo, hi = np.nanmin(d), np.nanmax(d)
+                    dn = (d - lo) / max(hi - lo, 1e-9)
+                    save_image(
+                        str(img_dir / f"{Path(cam.image_name).stem}_depth.png"),
+                        np.stack([dn, 1.0 - np.abs(2 * dn - 1), 1.0 - dn], axis=-1),
+                    )
         n_img = max(len(psnrs), 1)
         # LPIPS reports -1 when no VGG weights are available (matching the
         # reference's disabled-LPIPS behavior rather than propagating NaN)

@@ -39,6 +39,8 @@ class TrainConfig:
     tile_size: int = 16
     instance_cap: int = 2**20
     k_max: int = 1024
+    projection: str = "auto"  # auto | ewa | ut (--gut forces "ut")
+    antialiasing: bool = False  # Mip-Splatting opacity compensation
     strategy: str = "mcmc"
     mcmc: MCMCConfig = MCMCConfig()
     lr_gamma: float = 0.01 ** (1.0 / 30_000)  # ExponentialLR (mcmc.cpp:497)
@@ -57,6 +59,7 @@ class TrainConfig:
     pose_lr: float = 1e-5
     pose_mlp_depth: int = 2
     use_bilateral_grid: bool = False
+    bilateral_dims: tuple[int, int, int] = (16, 16, 8)  # (X, Y, W) grid dims
     bilateral_lr: float = 2e-3
     tv_loss_weight: float = 10.0
     bg_modulation: bool = False  # sinusoidal bg mixing (trainer.cpp:497-577)
@@ -185,7 +188,8 @@ def init_train_state(
     if cfg is not None and cfg.use_bilateral_grid:
         from lichtfeld_studio_tpu.train.components.bilateral_grid import identity_grids
 
-        aux_params["bilateral"] = identity_grids(num_cameras)
+        x, y, w = cfg.bilateral_dims
+        aux_params["bilateral"] = identity_grids(num_cameras, grid_w=x, grid_h=y, grid_l=w)
         aux_lrs["bilateral"] = cfg.bilateral_lr
     return TrainState(
         splats=splats,
@@ -249,6 +253,8 @@ def compute_grads(
             instance_cap=cfg.instance_cap,
             k_max=cfg.k_max,
             mean2d_offset=m2d_dummy,
+            projection=cfg.projection,
+            antialiasing=cfg.antialiasing,
         )
         image = out.image
         if cfg.use_bilateral_grid:

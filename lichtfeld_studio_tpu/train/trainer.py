@@ -52,6 +52,7 @@ class Trainer:
     output_dir: Path
     evaluator: Optional[MetricsEvaluator] = None
     progress_callback: Optional[Callable[[int, float, int], None]] = None
+    project: Optional[object] = None  # core.project.Project (.lfs registry)
     _loader: Optional[InfiniteRandomLoader] = None
 
     @staticmethod
@@ -130,6 +131,10 @@ class Trainer:
             # (bucketed recompiles) when the scene crowds it — all binning
             # costs scale with this static capacity
             instance_cap=min(2**20, opt.instance_cap),
+            # --gut forces the 3DGUT unscented projection even for pinhole
+            # cameras (reference trainer.cpp:654-659 dispatch)
+            projection="ut" if opt.gut else "auto",
+            antialiasing=opt.antialiasing,
             strategy=opt.strategy,
             mcmc=MCMCConfig(
                 max_cap=capacity,  # current bucket; grown toward opt.max_cap
@@ -151,6 +156,7 @@ class Trainer:
             revised_opacity=opt.revised_opacity,
             pose_mode=opt.pose_optimization,
             use_bilateral_grid=opt.use_bilateral_grid,
+            bilateral_dims=(opt.bilateral_grid_X, opt.bilateral_grid_Y, opt.bilateral_grid_W),
             bilateral_lr=opt.bilateral_grid_lr,
             tv_loss_weight=opt.tv_loss_weight,
             bg_modulation=opt.bg_modulation,
@@ -173,8 +179,22 @@ class Trainer:
                 raster_mode=cfg.raster_mode,
                 instance_cap=opt.instance_cap,
                 k_max=cfg.k_max,
+                lpips_weights=opt.lpips_weights or None,
+                render_mode=opt.render_mode,
+                projection=cfg.projection,
+                antialiasing=cfg.antialiasing,
             )
-        return Trainer(
+
+        # .lfs project registry (reference application.cpp:25 creates one on
+        # every run; outputs registered via addPly, trainer.cpp:1021-1028)
+        from lichtfeld_studio_tpu.core.project import Project
+
+        proj_dir = Path(ds.project_path) if ds.project_path else output_dir / "project.lfs"
+        project = Project.create(proj_dir, project_name=Path(ds.data_path).name or "scene")
+        project.set_params(params.to_json())
+        project.save()
+
+        trainer = Trainer(
             params=params,
             train_set=train_set,
             val_set=val_set,
@@ -182,6 +202,36 @@ class Trainer:
             cfg=cfg,
             output_dir=output_dir,
             evaluator=evaluator,
+            project=project,
+        )
+        if params.resume:
+            trainer.restore(params.resume)
+        return trainer
+
+    # ------------------------------------------------------------------
+    def restore(self, path: str) -> None:
+        """Resume from an Orbax training-state snapshot (capability beyond
+        the reference — its checkpoints are model exports only, SURVEY §5.4).
+        Adopts the snapshot's gaussian capacity before restoring."""
+        from lichtfeld_studio_tpu.train.capacity import grow_capacity
+        from lichtfeld_studio_tpu.train.checkpoint import load_checkpoint, peek_capacity
+
+        cap = peek_capacity(path)
+        if cap is not None and cap != self.state.splats.capacity:
+            if cap < self.state.splats.capacity:
+                raise ValueError(
+                    f"checkpoint capacity {cap} < current {self.state.splats.capacity}; "
+                    "shrinking is not supported"
+                )
+            self.state = grow_capacity(self.state, cap)
+            self.cfg = dataclasses.replace(
+                self.cfg, mcmc=dataclasses.replace(self.cfg.mcmc, max_cap=cap)
+            )
+        self.state = load_checkpoint(path, self.state)
+        print(
+            f"[resume] restored iteration {int(self.state.iteration)} "
+            f"({int(self.state.splats.n_active)} gaussians) from {path}",
+            flush=True,
         )
 
     # ------------------------------------------------------------------
@@ -216,8 +266,12 @@ class Trainer:
         # (lax.scan) to amortize dispatch latency; boundaries (eval/save/
         # timelapse/progress) land on exact iterations.
         dispatch_k = max(1, opt.dispatch_steps)
+        state_steps = (
+            set(range(opt.save_state_every, opt.iterations + 1, opt.save_state_every))
+            if opt.save_state_every > 0 else set()
+        )
         boundaries = sorted(
-            set(eval_steps) | set(save_steps)
+            set(eval_steps) | set(save_steps) | state_steps
             | ({s for s in range(timelapse_every, opt.iterations + 1, timelapse_every)}
                if timelapse_cams else set())
             | {opt.iterations}
@@ -227,11 +281,21 @@ class Trainer:
 
         default_flags = StepFlags()
 
+        from lichtfeld_studio_tpu.core.events import (
+            CheckpointSaved,
+            EvaluationCompleted,
+            TrainingCompleted,
+            TrainingProgress,
+            bus,
+        )
+
         pending_loss = None
         t_start = time.time()
         losses = []
         try:
-            it = 0
+            it = int(self.state.iteration)  # > 0 after --resume
+            if pbar is not None and it:
+                pbar.update(it)
             while it < opt.iterations:
                 next_boundary = next((b for b in boundaries if b > it), opt.iterations)
                 # scan only full-length uniform default-flag stretches (every
@@ -342,6 +406,12 @@ class Trainer:
                         it, losses[-1] if losses else float("nan"),
                         int(self.state.splats.n_active),
                     )
+                bus().emit(TrainingProgress(
+                    iteration=it,
+                    loss=losses[-1] if losses else float("nan"),
+                    num_gaussians=int(self.state.splats.n_active),
+                    is_refining=flags_next.refine,
+                ))
                 if timelapse_cams and it % timelapse_every == 0:
                     self._save_timelapse(timelapse_cams, it)
                 if it in eval_steps and self.evaluator is not None:
@@ -351,8 +421,13 @@ class Trainer:
                         f"LPIPS {m.lpips:.4f} gaussians {m.num_gaussians}",
                         flush=True,
                     )
+                    bus().emit(EvaluationCompleted(
+                        iteration=it, psnr=m.psnr, ssim=m.ssim, lpips=m.lpips
+                    ))
                 if it in save_steps and it != opt.iterations:
                     self.save_ply(it)
+                if it in state_steps:
+                    self.save_state(it)
             losses.append(float(pending_loss))
         finally:
             self._loader.stop()
@@ -365,6 +440,10 @@ class Trainer:
         if self.evaluator is not None:
             self.evaluator.write_report()
         elapsed = time.time() - t_start
+        bus().emit(TrainingCompleted(
+            iterations=opt.iterations, elapsed_s=elapsed,
+            final_loss=losses[-1] if losses else float("nan"),
+        ))
         return {
             "elapsed_s": elapsed,
             "iters_per_s": opt.iterations / elapsed,
@@ -384,7 +463,8 @@ class Trainer:
             out = rasterize(
                 self.state.splats, cam.device_params(), jnp.zeros(3),
                 mode=self.cfg.raster_mode, instance_cap=self.cfg.instance_cap,
-                k_max=self.cfg.k_max,
+                k_max=self.cfg.k_max, projection=self.cfg.projection,
+                antialiasing=self.cfg.antialiasing,
             )
             d = self.output_dir / "timelapse" / Path(cam.image_name).stem
             d.mkdir(parents=True, exist_ok=True)
@@ -416,7 +496,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def save_ply(self, iteration: int) -> Path:
         """Export checkpoint (reference trainer.cpp:1008-1028 +
-        splat_data.cpp:113-170). Identical on-disk layout to the reference."""
+        splat_data.cpp:113-170). Identical on-disk layout to the reference;
+        the output is registered in the .lfs project (trainer.cpp:1021-1028)."""
         out = self.output_dir / f"splat_{iteration}.ply"
         write_ply(self.state.splats.to_point_cloud(), out)
         if self.params.optimization.save_sog:
@@ -427,4 +508,21 @@ class Trainer:
                 self.output_dir / f"splat_{iteration}.sog",
                 kmeans_iterations=self.params.optimization.sog_iterations,
             )
+        if self.project is not None:
+            self.project.add_ply(out.stem, out, iteration=iteration)
+            self.project.save()
+        from lichtfeld_studio_tpu.core.events import CheckpointSaved, bus
+
+        bus().emit(CheckpointSaved(iteration=iteration, path=str(out)))
+        return out
+
+    # ------------------------------------------------------------------
+    def save_state(self, iteration: int) -> Path:
+        """Periodic full training-state snapshot for --resume
+        (train/checkpoint.py; no reference equivalent — SURVEY §5.4)."""
+        from lichtfeld_studio_tpu.train.checkpoint import save_checkpoint
+
+        out = self.output_dir / f"state_{iteration}"
+        save_checkpoint(self.state, out)
+        print(f"[state] snapshot at iter {iteration} -> {out}", flush=True)
         return out
