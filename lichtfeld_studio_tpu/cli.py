@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-output", type=str, default="render.png")
     # TPU-specific
     p.add_argument("--instance-cap", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None,
+                   help="camera-batch data parallelism over N chips")
     p.add_argument("--log-level", type=str, default="info")
     return p
 
@@ -142,6 +144,7 @@ _OVERRIDE_MAP = {
     "init_rho": "init_rho",
     "sog_iterations": "sog_iterations",
     "instance_cap": "instance_cap",
+    "devices": "devices",
     "lpips_weights": "lpips_weights",
     "save_state_every": "save_state_every",
     "save_eval_images": "enable_save_eval_images",

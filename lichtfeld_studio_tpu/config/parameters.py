@@ -107,6 +107,12 @@ class OptimizationParameters:
     # Train steps fused into one device dispatch (lax.scan) between
     # host-visible boundaries — amortizes dispatch latency on remote TPUs.
     dispatch_steps: int = 8
+    # Camera-batch data parallelism over N chips (jax.sharding Mesh +
+    # shard_map; gradients meet in one psum over ICI). One DP step consumes
+    # N cameras and counts as ONE iteration with 1/N-averaged gradients —
+    # equivalent to N-step gradient accumulation of the reference's
+    # batch-1 loop. 1 = single-chip (reference semantics).
+    devices: int = 1
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)

@@ -289,6 +289,33 @@ class Trainer:
             bus,
         )
 
+        # --- camera-batch data parallelism over N chips (--devices N):
+        # the DP step replaces both train_step and the scan dispatch; one DP
+        # step consumes N cameras and counts as one iteration (1/N-averaged
+        # gradients == N-step gradient accumulation; see parameters.py) ---
+        dp_step = None
+        n_dev = max(1, opt.devices)
+        if n_dev > 1:
+            import numpy as _np
+
+            from jax.sharding import Mesh
+            from lichtfeld_studio_tpu.parallel.data_parallel import (
+                make_camera_batch,
+                make_dp_train_step,
+            )
+
+            devs = jax.devices()
+            if len(devs) < n_dev:
+                raise ValueError(
+                    f"--devices {n_dev} but only {len(devs)} JAX devices present"
+                )
+            mesh = Mesh(_np.asarray(devs[:n_dev]), ("data",))
+            cam0 = self.train_set[0]
+            dp_cfg = self.cfg
+            dp_step = make_dp_train_step(mesh, dp_cfg, cam0.width, cam0.height)
+            dp_make_batch = make_camera_batch
+            print(f"[dp] camera-batch data parallelism over {n_dev} devices", flush=True)
+
         pending_loss = None
         t_start = time.time()
         losses = []
@@ -313,7 +340,20 @@ class Trainer:
                 )
                 k = dispatch_k if (uniform and dispatch_k > 1) else 1
 
-                if k > 1:
+                if dp_step is not None:
+                    if dp_cfg is not self.cfg:  # cap growth -> rebuild (recompile)
+                        dp_cfg = self.cfg
+                        dp_step = make_dp_train_step(
+                            mesh, dp_cfg, cam0.width, cam0.height
+                        )
+                    cams, imgs = zip(*(next(self._loader) for _ in range(n_dev)))
+                    batch, gts = dp_make_batch(list(cams), list(imgs))
+                    self.state, metrics = dp_step(
+                        self.state, batch, gts, bg, flags_next
+                    )
+                    last_loss = metrics["loss"]
+                    k = 1
+                elif k > 1:
                     cams, imgs = zip(*(next(self._loader) for _ in range(k)))
                     from lichtfeld_studio_tpu.parallel.data_parallel import make_camera_batch
 
