@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bg-modulation", action="store_true")
     p.add_argument("--antialiasing", action="store_true")
     p.add_argument("--gut", action="store_true")
+    p.add_argument("--gut-exact", action="store_true", dest="gut_exact",
+                   help="per-pixel world-space GUT blend (exact, slower)")
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--skip-intermediate", action="store_true")
     p.add_argument("--save-eval-images", action="store_true", default=None)
@@ -163,6 +165,7 @@ _FLAG_MAP = {
     "bg_modulation": "bg_modulation",
     "antialiasing": "antialiasing",
     "gut": "gut",
+    "gut_exact": "gut_exact",
     "skip_intermediate": "skip_intermediate_saving",
     "bilateral_grid": "use_bilateral_grid",
     "random_init": "random_init",

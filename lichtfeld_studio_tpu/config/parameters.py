@@ -69,6 +69,10 @@ class OptimizationParameters:
     pause_refine_after_reset: int = 0
     revised_opacity: bool = False
     gut: bool = False
+    # exact per-pixel world-space GUT blend (reference K13/K14) instead of
+    # the UT-conic approximation through the shared tile blend; exact but
+    # slower (dense per-tile evaluation)
+    gut_exact: bool = False
     steps_scaler: float = 0.0
     antialiasing: bool = False
 

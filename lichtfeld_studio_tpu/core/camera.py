@@ -27,10 +27,22 @@ class CameraModelType:
     ORTHO = 3
 
 
+class ShutterType:
+    """Shutter enum (reference gsplat/Cameras.h:16-22). Rolling shutters
+    interpolate between a start-of-frame and end-of-frame pose per pixel
+    row/column."""
+
+    ROLLING_TOP_TO_BOTTOM = 0
+    ROLLING_LEFT_TO_RIGHT = 1
+    ROLLING_BOTTOM_TO_TOP = 2
+    ROLLING_RIGHT_TO_LEFT = 3
+    GLOBAL = 4
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["w2c", "cam_position", "K", "uid", "radial", "tangential"],
-    meta_fields=["width", "height", "camera_model"],
+    data_fields=["w2c", "cam_position", "K", "uid", "radial", "tangential", "w2c_end"],
+    meta_fields=["width", "height", "camera_model", "shutter_type"],
 )
 @dataclass
 class CameraParams:
@@ -45,6 +57,10 @@ class CameraParams:
     camera_model: int = CameraModelType.PINHOLE
     radial: jax.Array | None = None  # distortion coeffs (static shape per cam)
     tangential: jax.Array | None = None
+    # rolling shutter: end-of-frame pose + scanline direction
+    # (reference viewmats0/viewmats1, gsplat/Cameras.h:16-22)
+    w2c_end: jax.Array | None = None  # [4, 4]
+    shutter_type: int = ShutterType.GLOBAL
 
 
 @dataclass

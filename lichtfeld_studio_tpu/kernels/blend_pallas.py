@@ -52,13 +52,15 @@ from lichtfeld_studio_tpu.ops.projection import (
 CHUNK = 256  # instances per streamed slice
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
 # backward per-instance gradient rows — ALL as bf16 pairs (0 mx|my, 1 ca|cb,
-# 2 cc|op, 3 r|g, 4 b|aux): halves the writeback DMA and shrinks the
-# slot-keyed reduction sort from 9 to 6 operand arrays. Per-instance grad
-# contributions are bf16-quantized but summed per-gaussian in f32; with <=32
-# instances per gaussian the summed relative error stays ~0.4% — far below
-# SGD gradient noise (the straight-through treatment the forward colors
-# already get).
+# 2 cc|op, 3 r|g, 4 b|aux): shrinks the slot-keyed reduction sort from 9 to
+# 6 operand arrays. Per-instance grad contributions are bf16-quantized but
+# summed per-gaussian in f32; with <=32 instances per gaussian the summed
+# relative error stays ~0.4% — far below SGD gradient noise (the
+# straight-through treatment the forward colors already get).
+# The buffer keeps 8 rows because Mosaic requires sublane-dim DMA slices
+# aligned to the (8,128) tile; rows 5-7 are never written or read.
 GRAD_ROWS = 5
+GRAD_ROWS_BUF = 8
 GRAD_COLS = 10  # unpacked per-instance gradient columns (6 geometry + 4 color)
 OUT_ROWS = 8
 
@@ -425,7 +427,7 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - 2).wait()
 
-        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS, CHUNK), jnp.float32)
+        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS_BUF, CHUNK), jnp.float32)
         dma_out(oslot, ci).start()
         return ci + 1
 
@@ -524,12 +526,12 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
-                pltpu.VMEM((2, GRAD_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, GRAD_ROWS_BUF, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, feat_t.shape[1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS_BUF, feat_t.shape[1]), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,

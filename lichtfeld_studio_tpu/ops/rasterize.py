@@ -66,6 +66,7 @@ def rasterize(
     mean2d_offset: jax.Array | None = None,
     projection: str = "auto",  # auto | ewa | ut
     antialiasing: bool = False,
+    gut_exact: bool = False,  # exact per-pixel world-space blend (K13/K14)
     inference: bool = False,
 ) -> RenderOutput:
     """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
@@ -88,8 +89,14 @@ def rasterize(
 
     from lichtfeld_studio_tpu.core.camera import CameraModelType
 
+    from lichtfeld_studio_tpu.core.camera import ShutterType
+
     if projection == "auto":
-        projection = "ewa" if camera.camera_model == CameraModelType.PINHOLE else "ut"
+        perfect_pinhole = (
+            camera.camera_model == CameraModelType.PINHOLE
+            and camera.shutter_type == ShutterType.GLOBAL
+        )
+        projection = "ewa" if perfect_pinhole else "ut"
 
     if projection == "ut":
         from lichtfeld_studio_tpu.ops.ut_projection import project_gaussians_ut
@@ -113,6 +120,9 @@ def rasterize(
             radial=camera.radial,
             tangential=camera.tangential,
             antialiasing=antialiasing,
+            w2c_end=camera.w2c_end,
+            shutter_type=camera.shutter_type,
+            exact_tile_test=not gut_exact,
         )
     else:
         proj = project_gaussians(
@@ -136,6 +146,52 @@ def rasterize(
         import dataclasses
 
         proj = dataclasses.replace(proj, mean2d=proj.mean2d + mean2d_offset)
+
+    if gut_exact and projection == "ut" and mode in ("tiles", "pallas"):
+        # exact per-pixel world-space blend (reference rasterize() GUT path,
+        # RasterizeToPixelsFromWorld3DGSFwd.cu) — binning by the conservative
+        # UT bounds, per-pixel camera-model rays, 3D gaussian evaluation
+        from lichtfeld_studio_tpu.ops.world_blend import (
+            pack_world_features,
+            world_blend_tiles,
+            world_ray_table,
+        )
+
+        n_ch = 4 if with_depth else 3
+        assignment = build_tile_assignment(
+            proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
+            need_grad=not inference,
+        )
+        featw = pack_world_features(
+            splats.means, splats.scaling, splats.rotation,
+            proj.opacity, proj.color,
+            proj.depth if with_depth else None,
+        )
+        feat = gather_instance_features(featw, assignment, proj.n_touched)
+        radial = camera.radial if camera.radial is not None else jnp.zeros((0,), jnp.float32)
+        tangential = (
+            camera.tangential if camera.tangential is not None else jnp.zeros((0,), jnp.float32)
+        )
+        rays_o, rays_d = world_ray_table(
+            camera.w2c, camera.K, camera.camera_model, radial, tangential,
+            width, height, tile_size,
+            w2c_end=camera.w2c_end, shutter_type=camera.shutter_type,
+        )
+        image4, alpha = world_blend_tiles(
+            feat, rays_o, rays_d, assignment,
+            grid_w=grid_w, grid_h=grid_h, tile_size=tile_size,
+            k_max=k_max, n_channels=n_ch,
+        )
+        image4 = image4[:height, :width]
+        alpha = alpha[:height, :width]
+        n_instances = assignment.n_instances
+        image, depth = _split_depth(image4, with_depth)
+        image = image + (1.0 - alpha[..., None]) * bg_color[None, None, :]
+        return RenderOutput(
+            image=image, alpha=alpha, depth=depth, n_instances=n_instances,
+            visibility=proj.valid, mean2d_grad_accum=None,
+            width=width, height=height,
+        )
 
     if mode == "oracle":
         color = proj.color

@@ -17,9 +17,15 @@ Merwe 2000 defaults alpha=0.1 beta=2 kappa=0):
 
 The image covariance gets the +eps2d dilation like the EWA path; conic,
 bounds and culling feed the same ProjectedSplats structure so the tile
-binning and blend are shared with the fast path. Rolling shutter poses
-(viewmats0/1 interpolation, ShutterType) are TODO for a later round —
-GLOBAL shutter only, which matches the reference's default.
+binning and blend are shared with the fast path.
+
+Rolling shutter (reference Cameras.cuh:253-413 + ProjectionUT3DGSFused.cu
+viewmats0/viewmats1): each sigma point is projected through a per-point
+pose interpolated at its own scanline time — the fixed-point iteration
+image point -> relative frame time -> slerp(start, end) pose -> reproject,
+unrolled N_ROLLING_SHUTTER_ITERATIONS=10 times (Cameras.cuh:346), here as a
+[C, 7]-batched unrolled loop. The gaussian's depth cull uses the mid-frame
+(t=0.5) pose like ProjectionUT3DGSFused.cu:76-78.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from lichtfeld_studio_tpu.core.camera import CameraModelType
+from lichtfeld_studio_tpu.core.camera import CameraModelType, ShutterType
 from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
 from lichtfeld_studio_tpu.ops.projection import (
     EXACT_TILE_CAP,
@@ -47,6 +53,67 @@ UT_BETA = 2.0
 UT_KAPPA = 0.0
 UT_MARGIN = 0.1
 EPS2D = 0.3
+N_ROLLING_SHUTTER_ITERATIONS = 10  # Cameras.cuh:346
+
+
+def _rotmat_to_quat(R: jax.Array) -> jax.Array:
+    """[3,3] rotation -> [4] wxyz quaternion (branch-free Shepperd)."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    # four candidate formulations; pick the numerically largest pivot
+    qw = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0
+    qx = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
+    qy = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
+    qz = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
+    qx = jnp.copysign(qx, m21 - m12)
+    qy = jnp.copysign(qy, m02 - m20)
+    qz = jnp.copysign(qz, m10 - m01)
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+
+
+def _quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
+    """Slerp q0 [4] -> q1 [4] at t [...]; returns [..., 4] (glm::slerp)."""
+    dot = jnp.sum(q0 * q1)
+    q1 = jnp.where(dot < 0.0, -q1, q1)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    use_lerp = sin_theta < 1e-4
+    t = t[..., None]
+    w0 = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(use_lerp, 1.0, sin_theta))
+    w1 = jnp.where(use_lerp, t, jnp.sin(t * theta) / jnp.where(use_lerp, 1.0, sin_theta))
+    q = w0 * q0 + w1 * q1
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def _quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate v [..., 3] by q [..., 4] (wxyz)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    u = jnp.stack([x, y, z], axis=-1)
+    uv = jnp.cross(u, v)
+    uuv = jnp.cross(u, uv)
+    return v + 2.0 * (w[..., None] * uv + uuv)
+
+
+def _shutter_time(img_pts: jax.Array, shutter_type: int, width: int, height: int) -> jax.Array:
+    """Relative frame time of image points [..., 2]
+    (Cameras.cuh:294-318 shutter_relative_frame_time)."""
+    x = img_pts[..., 0]
+    y = img_pts[..., 1]
+    if shutter_type == ShutterType.ROLLING_TOP_TO_BOTTOM:
+        t = jnp.floor(y) / (height - 1)
+    elif shutter_type == ShutterType.ROLLING_LEFT_TO_RIGHT:
+        t = jnp.floor(x) / (width - 1)
+    elif shutter_type == ShutterType.ROLLING_BOTTOM_TO_TOP:
+        t = (height - jnp.ceil(y)) / (height - 1)
+    elif shutter_type == ShutterType.ROLLING_RIGHT_TO_LEFT:
+        t = (width - jnp.ceil(x)) / (width - 1)
+    else:
+        t = jnp.zeros_like(x)
+    return jnp.clip(t, 0.0, 1.0)
 
 
 def _sigma_points(means, log_scales, quats):
@@ -148,6 +215,9 @@ def project_gaussians_ut(
     far: float = FAR_PLANE,
     eps2d: float = EPS2D,
     antialiasing: bool = False,
+    w2c_end: jax.Array | None = None,
+    shutter_type: int = ShutterType.GLOBAL,
+    exact_tile_test: bool = True,
 ) -> ProjectedSplats:
     if radial is None:
         radial = jnp.zeros((0,), jnp.float32)
@@ -157,17 +227,26 @@ def project_gaussians_ut(
         logit_opacities = logit_opacities[:, 0]
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
+    rolling = shutter_type != ShutterType.GLOBAL and w2c_end is not None
 
     rot_w2c = w2c[:3, :3]
     t_w2c = w2c[:3, 3]
-
-    # center depth cull (ProjectionUT3DGSFused.cu:75-81)
-    mean_c = (
-        means[:, 0:1] * rot_w2c[:, 0][None, :]
-        + means[:, 1:2] * rot_w2c[:, 1][None, :]
-        + means[:, 2:3] * rot_w2c[:, 2][None, :]
-        + t_w2c[None, :]
-    )
+    if rolling:
+        # mid-frame pose for the center depth cull
+        # (ProjectionUT3DGSFused.cu:76-78 interpolate_shutter_pose(0.5))
+        q0 = _rotmat_to_quat(rot_w2c)
+        q1 = _rotmat_to_quat(w2c_end[:3, :3])
+        t1 = w2c_end[:3, 3]
+        q_mid = _quat_slerp(q0, q1, jnp.asarray(0.5))
+        t_mid = 0.5 * (t_w2c + t1)
+        mean_c = _quat_rotate(q_mid[None, :], means) + t_mid[None, :]
+    else:
+        mean_c = (
+            means[:, 0:1] * rot_w2c[:, 0][None, :]
+            + means[:, 1:2] * rot_w2c[:, 1][None, :]
+            + means[:, 2:3] * rot_w2c[:, 2][None, :]
+            + t_w2c[None, :]
+        )
     depth = mean_c[:, 2]
     valid = active_mask & (depth >= near) & (depth <= far)
 
@@ -177,12 +256,35 @@ def project_gaussians_ut(
 
     # sigma points -> camera space -> image points
     pts, w_mean, w_cov = _sigma_points(means, log_scales, quats)  # [C,7,3]
-    p_cam = jnp.einsum(
-        "ckj,ij->cki", pts, rot_w2c, precision=jax.lax.Precision.HIGHEST
-    ) + t_w2c[None, None, :]
-    img_pts, pt_valid = _project_points(
-        p_cam, K, camera_model, radial, tangential, width, height
-    )  # [C,7,2], [C,7]
+    if rolling:
+        # Per-sigma-point shutter-pose fixed point (Cameras.cuh:347-413):
+        # start with the start-of-frame projection (fall back to end), then
+        # iterate time -> slerped pose -> reprojection.
+        def proj_with(q, t):
+            p_cam = _quat_rotate(q, pts) + t
+            return _project_points(
+                p_cam, K, camera_model, radial, tangential, width, height
+            )
+
+        img0, valid0 = proj_with(q0[None, None, :], t_w2c[None, None, :])
+        img1, valid1 = proj_with(q1[None, None, :], t1[None, None, :])
+        img_pts = jnp.where(valid0[..., None], img0, img1)
+        init_valid = valid0 | valid1
+        pt_valid = init_valid
+        for _ in range(N_ROLLING_SHUTTER_ITERATIONS):
+            rft = _shutter_time(img_pts, shutter_type, width, height)  # [C,7]
+            q_rs = _quat_slerp(q0, q1, rft)  # [C,7,4]
+            t_rs = (1.0 - rft)[..., None] * t_w2c + rft[..., None] * t1
+            img_rs, valid_rs = proj_with(q_rs, t_rs)
+            img_pts = jnp.where(init_valid[..., None], img_rs, img_pts)
+            pt_valid = init_valid & valid_rs
+    else:
+        p_cam = jnp.einsum(
+            "ckj,ij->cki", pts, rot_w2c, precision=jax.lax.Precision.HIGHEST
+        ) + t_w2c[None, None, :]
+        img_pts, pt_valid = _project_points(
+            p_cam, K, camera_model, radial, tangential, width, height
+        )  # [C,7,2], [C,7]
     valid &= jnp.all(pt_valid, axis=1)  # require_all_sigma_points_valid=true
 
     mean2d = jnp.sum(w_mean[None, :, None] * img_pts, axis=1)  # [C, 2]
@@ -232,7 +334,10 @@ def project_gaussians_ut(
         (mean2d - 0.5)[:, None, :], conic[:, None, :], cand_x, cand_y,
         power_threshold[:, None], tile_size,
     )
-    use_exact = (area <= EXACT_TILE_CAP) & valid
+    # exact_tile_test=False keeps the conservative full bbox — required by
+    # the per-pixel world-space blend, whose footprint is not bounded by the
+    # UT conic the exact test evaluates
+    use_exact = (area <= EXACT_TILE_CAP) & valid & exact_tile_test
     bits = jnp.where(in_bbox & contrib & use_exact[:, None], jnp.int32(1) << k, 0)
     tile_mask = jnp.sum(bits, axis=1)
     n_exact = jnp.sum((in_bbox & contrib).astype(jnp.int32), axis=1)

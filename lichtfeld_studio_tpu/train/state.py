@@ -41,6 +41,7 @@ class TrainConfig:
     k_max: int = 1024
     projection: str = "auto"  # auto | ewa | ut (--gut forces "ut")
     antialiasing: bool = False  # Mip-Splatting opacity compensation
+    gut_exact: bool = False  # per-pixel world-space blend (K13/K14 exact)
     strategy: str = "mcmc"
     mcmc: MCMCConfig = MCMCConfig()
     lr_gamma: float = 0.01 ** (1.0 / 30_000)  # ExponentialLR (mcmc.cpp:497)
@@ -255,6 +256,7 @@ def compute_grads(
             mean2d_offset=m2d_dummy,
             projection=cfg.projection,
             antialiasing=cfg.antialiasing,
+            gut_exact=cfg.gut_exact,
         )
         image = out.image
         if cfg.use_bilateral_grid:

@@ -133,8 +133,9 @@ class Trainer:
             instance_cap=min(2**20, opt.instance_cap),
             # --gut forces the 3DGUT unscented projection even for pinhole
             # cameras (reference trainer.cpp:654-659 dispatch)
-            projection="ut" if opt.gut else "auto",
+            projection="ut" if (opt.gut or opt.gut_exact) else "auto",
             antialiasing=opt.antialiasing,
+            gut_exact=opt.gut_exact,
             strategy=opt.strategy,
             mcmc=MCMCConfig(
                 max_cap=capacity,  # current bucket; grown toward opt.max_cap

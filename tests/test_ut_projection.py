@@ -96,3 +96,55 @@ def test_gut_rasterize_gradients(rng):
     g = jax.grad(loss)(splats.means)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_rolling_shutter_identity_pose_matches_global(rng):
+    """With identical start/end poses, every rolling shutter type must
+    reproduce the global-shutter projection exactly (Cameras.cuh:347-413:
+    the fixed point is pose-independent when the poses agree)."""
+    from lichtfeld_studio_tpu.core.camera import ShutterType
+
+    cam = make_camera(64, 48)
+    splats = make_random_splats(rng, n=48)
+    base = project_gaussians_ut(*_proj_args(splats, cam), width=64, height=48)
+    for st in (ShutterType.ROLLING_TOP_TO_BOTTOM, ShutterType.ROLLING_LEFT_TO_RIGHT):
+        rs = project_gaussians_ut(
+            *_proj_args(splats, cam), width=64, height=48,
+            w2c_end=jnp.asarray(cam.w2c), shutter_type=st,
+        )
+        v = np.asarray(base.valid) & np.asarray(rs.valid)
+        assert v.sum() > 10
+        np.testing.assert_allclose(
+            np.asarray(rs.mean2d)[v], np.asarray(base.mean2d)[v], atol=1e-3
+        )
+
+
+def test_rolling_shutter_moving_pose_shifts_rows(rng):
+    """A camera translating during the frame must displace bottom-row
+    content more than top-row content under TOP_TO_BOTTOM shutter."""
+    from lichtfeld_studio_tpu.core.camera import ShutterType
+
+    cam = make_camera(64, 48)
+    splats = make_random_splats(rng, n=64, spread=1.5)
+    w2c0 = np.asarray(cam.w2c)
+    w2c1 = w2c0.copy()
+    w2c1[0, 3] += 0.3  # translate right during the frame
+
+    glob = project_gaussians_ut(*_proj_args(splats, cam), width=64, height=48)
+    rs = project_gaussians_ut(
+        *_proj_args(splats, cam), width=64, height=48,
+        w2c_end=jnp.asarray(w2c1),
+        shutter_type=ShutterType.ROLLING_TOP_TO_BOTTOM,
+    )
+    v = np.asarray(glob.valid) & np.asarray(rs.valid)
+    assert v.sum() > 10
+    m_g = np.asarray(glob.mean2d)[v]
+    m_r = np.asarray(rs.mean2d)[v]
+    shift = m_r[:, 0] - m_g[:, 0]
+    ys = m_g[:, 1]
+    top = shift[ys < np.median(ys)]
+    bottom = shift[ys >= np.median(ys)]
+    # content captured later (bottom rows) must be shifted strictly more
+    assert np.mean(np.abs(bottom)) > np.mean(np.abs(top)) + 1e-3
+    # and the rolling projection must differ from global overall
+    assert np.max(np.abs(shift)) > 0.05
