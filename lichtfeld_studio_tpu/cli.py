@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     # viewer / render
     p.add_argument("-v", "--view", type=str, default="", help="render a PLY headlessly")
     p.add_argument("--render-output", type=str, default="render.png")
+    p.add_argument("--viewer-max-points", type=int, default=1_000_000,
+                   help="embed size cap for the HTML viewer export")
     # TPU-specific
     p.add_argument("--instance-cap", type=int, default=None)
     p.add_argument("--devices", type=int, default=None,
@@ -236,7 +238,10 @@ def main(argv: list[str] | None = None) -> int:
             from lichtfeld_studio_tpu.render.headless import splats_from_ply
             from lichtfeld_studio_tpu.render.web_viewer import export_html
 
-            out = export_html(splats_from_ply(params.ply_path), args.render_output)
+            out = export_html(
+                splats_from_ply(params.ply_path), args.render_output,
+                max_points=args.viewer_max_points,
+            )
             print(f"interactive viewer written to {out} — open in any browser")
         else:
             from lichtfeld_studio_tpu.render.headless import render_ply_orbit

@@ -4,11 +4,13 @@ The reference ships an OpenGL/ImGui desktop viewer (src/visualizer/,
 src/rendering/ — ~15 kLoC of GLFW/GLSL/CUDA-interop). A TPU training box is
 headless, so the interactive story here is: export a single HTML file with
 an embedded WebGL2 3D-gaussian renderer (instanced quads + conic fragment
-shader, worker-free CPU depth sort, orbit/pan/zoom controls, axes overlay).
-Open it in any browser — no server, no dependencies.
+shader, 16-bit counting-sort depth ordering that handles >=1M splats,
+orbit/pan/zoom controls), plus degree-1 spherical-harmonics view-dependent
+color evaluated in the vertex shader (kernel_utils.cuh:15-40 basis
+convention). Open it in any browser — no server, no dependencies.
 
-Splat data is embedded base64 (f16-quantized, ~16 B/splat) and capped at
-`max_points` by opacity-weighted importance."""
+Splat data is embedded base64 (~25 B/splat: f32 pos, u8 rgba, f16 cov3d,
+i8 SH1 coeffs) and capped at `max_points` by opacity-weighted importance."""
 
 from __future__ import annotations
 
@@ -34,17 +36,20 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 const META = __META__;
 const RAW = Uint8Array.from(atob("__DATA__"), c=>c.charCodeAt(0));
 const N = META.count;
-// layout per splat (little endian): pos f32x3, rgba u8x4, cov3d f16x6
-const STRIDE = 12+4+12;
+// layout per splat (little endian): pos f32x3, rgba u8x4, cov3d f16x6, sh1 i8x9
+const STRIDE = 12+4+12+9;
 const dv = new DataView(RAW.buffer);
 const pos = new Float32Array(N*3), col = new Uint8Array(N*4), cov = new Float32Array(N*6);
+const sh1 = new Float32Array(N*9);
+const SH1S = META.sh1_scale;
 function f16(u){const s=(u&0x8000)?-1:1,e=(u>>10)&0x1f,m=u&0x3ff;
  if(e===0)return s*m*Math.pow(2,-24); if(e===31)return m?NaN:s*Infinity;
  return s*(1+m/1024)*Math.pow(2,e-15);}
 for(let i=0;i<N;i++){const o=i*STRIDE;
  pos[i*3]=dv.getFloat32(o,true);pos[i*3+1]=dv.getFloat32(o+4,true);pos[i*3+2]=dv.getFloat32(o+8,true);
  col[i*4]=RAW[o+12];col[i*4+1]=RAW[o+13];col[i*4+2]=RAW[o+14];col[i*4+3]=RAW[o+15];
- for(let k=0;k<6;k++)cov[i*6+k]=f16(dv.getUint16(o+16+2*k,true));}
+ for(let k=0;k<6;k++)cov[i*6+k]=f16(dv.getUint16(o+16+2*k,true));
+ for(let k=0;k<9;k++)sh1[i*9+k]=dv.getInt8(o+28+k)*SH1S;}
 
 const canvas=document.getElementById("c");
 const gl=canvas.getContext("webgl2",{antialias:false});
@@ -54,7 +59,10 @@ layout(location=1) in vec3 a_pos;
 layout(location=2) in vec4 a_col;
 layout(location=3) in vec3 a_covA; // xx xy xz
 layout(location=4) in vec3 a_covB; // yy yz zz
-uniform mat4 view; uniform float fx,fy; uniform vec2 vp;
+layout(location=5) in vec3 a_sh1a; // rgb of basis -C1*y
+layout(location=6) in vec3 a_sh1b; // rgb of basis  C1*z
+layout(location=7) in vec3 a_sh1c; // rgb of basis -C1*x
+uniform mat4 view; uniform float fx,fy; uniform vec2 vp; uniform vec3 eye;
 out vec4 v_col; out vec2 v_d; out vec3 v_conic;
 void main(){
  vec4 pc = view * vec4(a_pos,1.0);
@@ -70,7 +78,12 @@ void main(){
  float r=3.0*sqrt(max(cxx,cyy));
  vec2 center=vec2(fx*pc.x/z, fy*pc.y/z);
  vec2 d=corner*r;
- v_d=d; v_col=a_col;
+ v_d=d;
+ // degree-1 SH view dependence (kernel_utils.cuh basis: -C1 y, C1 z, -C1 x)
+ vec3 dir=normalize(a_pos-eye);
+ const float C1=0.4886025119;
+ vec3 rgb=a_col.rgb/255.0 + (-C1*dir.y)*a_sh1a + (C1*dir.z)*a_sh1b + (-C1*dir.x)*a_sh1c;
+ v_col=vec4(max(rgb,vec3(0.0)), a_col.a/255.0);
  vec2 ndc=(center+d)/ (0.5*vp);
  gl_Position=vec4(ndc.x, -ndc.y, z/1e4, 1.0);
 }`;
@@ -80,9 +93,9 @@ in vec4 v_col; in vec2 v_d; in vec3 v_conic; out vec4 frag;
 void main(){
  float p=0.5*(v_conic.x*v_d.x*v_d.x+v_conic.z*v_d.y*v_d.y)+v_conic.y*v_d.x*v_d.y;
  if(p<0.0) discard;
- float a=v_col.a/255.0*exp(-p);
+ float a=v_col.a*exp(-p);
  if(a<0.0039) discard;
- frag=vec4(v_col.rgb/255.0*a, a);
+ frag=vec4(v_col.rgb*a, a);
 }`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);gl.compileShader(o);
  if(!gl.getShaderParameter(o,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(o);return o;}
@@ -95,9 +108,11 @@ const quad=new Float32Array([-1,-1, 1,-1, -1,1, 1,1]);
 const qb=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,qb);gl.bufferData(gl.ARRAY_BUFFER,quad,gl.STATIC_DRAW);
 gl.enableVertexAttribArray(0);gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
 
-// sorted instance buffers (rewritten per sort)
-const pb=gl.createBuffer(), cb=gl.createBuffer(), ca=gl.createBuffer(), cbb=gl.createBuffer();
-const spos=new Float32Array(N*3), scol=new Uint8Array(N*4), scovA=new Float32Array(N*3), scovB=new Float32Array(N*3);
+// sorted instance buffers (rewritten per re-sort, not per frame)
+const bufs=[];for(let i=0;i<7;i++)bufs.push(gl.createBuffer());
+const spos=new Float32Array(N*3), scol=new Uint8Array(N*4);
+const scovA=new Float32Array(N*3), scovB=new Float32Array(N*3);
+const ssh=[new Float32Array(N*3),new Float32Array(N*3),new Float32Array(N*3)];
 function bindInst(buf, loc, size, type, norm){gl.bindBuffer(gl.ARRAY_BUFFER,buf);
  gl.enableVertexAttribArray(loc);gl.vertexAttribPointer(loc,size,type,norm,0,0);gl.vertexAttribDivisor(loc,1);}
 
@@ -119,7 +134,34 @@ window.addEventListener("mousemove",e=>{if(!drag)return;
 canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();},{passive:false});
 canvas.addEventListener("contextmenu",e=>e.preventDefault());
 
-const order=new Uint32Array(N), keys=new Float32Array(N);
+// 16-bit counting sort over quantized view depth: O(N) per re-sort, scales
+// to millions of splats where Array.prototype.sort thrashes
+const order=new Uint32Array(N), keys=new Uint16Array(N), hist=new Uint32Array(65537);
+let lastDir=[0,0,0];
+function resort(R){
+ let lo=1e30,hi=-1e30;
+ const zx=R[2][0],zy=R[2][1],zz=R[2][2];
+ const zf=new Float32Array(N);
+ for(let i=0;i<N;i++){const z=zx*pos[i*3]+zy*pos[i*3+1]+zz*pos[i*3+2];zf[i]=z;
+  if(z<lo)lo=z; if(z>hi)hi=z;}
+ const s=65535/Math.max(hi-lo,1e-9);
+ hist.fill(0);
+ for(let i=0;i<N;i++){const k=(65535-((zf[i]-lo)*s))|0;keys[i]=k;hist[k+1]++;}
+ for(let k=1;k<=65536;k++)hist[k]+=hist[k-1];
+ for(let i=0;i<N;i++){order[hist[keys[i]]++]=i;}  // back-to-front
+ for(let k=0;k<N;k++){const i=order[k];
+  spos[k*3]=pos[i*3];spos[k*3+1]=pos[i*3+1];spos[k*3+2]=pos[i*3+2];
+  scol[k*4]=col[i*4];scol[k*4+1]=col[i*4+1];scol[k*4+2]=col[i*4+2];scol[k*4+3]=col[i*4+3];
+  scovA[k*3]=cov[i*6];scovA[k*3+1]=cov[i*6+1];scovA[k*3+2]=cov[i*6+2];
+  scovB[k*3]=cov[i*6+3];scovB[k*3+1]=cov[i*6+4];scovB[k*3+2]=cov[i*6+5];
+  for(let c=0;c<3;c++){ssh[c][k*3]=sh1[i*9+c*3];ssh[c][k*3+1]=sh1[i*9+c*3+1];ssh[c][k*3+2]=sh1[i*9+c*3+2];}}
+ gl.bindBuffer(gl.ARRAY_BUFFER,bufs[0]);gl.bufferData(gl.ARRAY_BUFFER,spos,gl.DYNAMIC_DRAW);
+ gl.bindBuffer(gl.ARRAY_BUFFER,bufs[1]);gl.bufferData(gl.ARRAY_BUFFER,scol,gl.DYNAMIC_DRAW);
+ gl.bindBuffer(gl.ARRAY_BUFFER,bufs[2]);gl.bufferData(gl.ARRAY_BUFFER,scovA,gl.DYNAMIC_DRAW);
+ gl.bindBuffer(gl.ARRAY_BUFFER,bufs[3]);gl.bufferData(gl.ARRAY_BUFFER,scovB,gl.DYNAMIC_DRAW);
+ for(let c=0;c<3;c++){gl.bindBuffer(gl.ARRAY_BUFFER,bufs[4+c]);gl.bufferData(gl.ARRAY_BUFFER,ssh[c],gl.DYNAMIC_DRAW);}
+}
+
 let frames=0,lastT=performance.now();
 function draw(){
  const w=canvas.clientWidth*devicePixelRatio, h=canvas.clientHeight*devicePixelRatio;
@@ -142,25 +184,23 @@ function draw(){
           -(R[2][0]*eye[0]+R[2][1]*eye[1]+R[2][2]*eye[2])];
  // column-major mat4
  const V=[R[0][0],R[1][0],R[2][0],0, R[0][1],R[1][1],R[2][1],0, R[0][2],R[1][2],R[2][2],0, t[0],t[1],t[2],1];
- // depth sort (back to front for premultiplied OVER with front-to-back?
- // we draw back-to-front with standard alpha compositing)
- for(let i=0;i<N;i++){keys[i]=R[2][0]*pos[i*3]+R[2][1]*pos[i*3+1]+R[2][2]*pos[i*3+2];order[i]=i;}
- order.sort((a,b)=>keys[b]-keys[a]);
- for(let k=0;k<N;k++){const i=order[k];
-  spos[k*3]=pos[i*3];spos[k*3+1]=pos[i*3+1];spos[k*3+2]=pos[i*3+2];
-  scol[k*4]=col[i*4];scol[k*4+1]=col[i*4+1];scol[k*4+2]=col[i*4+2];scol[k*4+3]=col[i*4+3];
-  scovA[k*3]=cov[i*6];scovA[k*3+1]=cov[i*6+1];scovA[k*3+2]=cov[i*6+2];
-  scovB[k*3]=cov[i*6+3];scovB[k*3+1]=cov[i*6+4];scovB[k*3+2]=cov[i*6+5];}
- gl.bindBuffer(gl.ARRAY_BUFFER,pb);gl.bufferData(gl.ARRAY_BUFFER,spos,gl.DYNAMIC_DRAW);bindInst(pb,1,3,gl.FLOAT,false);
- gl.bindBuffer(gl.ARRAY_BUFFER,cb);gl.bufferData(gl.ARRAY_BUFFER,scol,gl.DYNAMIC_DRAW);
+ // re-sort only when the view direction moved enough (back-to-front OVER)
+ const moved=Math.abs(f[0]-lastDir[0])+Math.abs(f[1]-lastDir[1])+Math.abs(f[2]-lastDir[2]);
+ if(moved>0.01){resort(R);lastDir=f.slice();}
+ bindInst(bufs[0],1,3,gl.FLOAT,false);
+ gl.bindBuffer(gl.ARRAY_BUFFER,bufs[1]);
  gl.enableVertexAttribArray(2);gl.vertexAttribPointer(2,4,gl.UNSIGNED_BYTE,false,0,0);gl.vertexAttribDivisor(2,1);
- gl.bindBuffer(gl.ARRAY_BUFFER,ca);gl.bufferData(gl.ARRAY_BUFFER,scovA,gl.DYNAMIC_DRAW);bindInst(ca,3,3,gl.FLOAT,false);
- gl.bindBuffer(gl.ARRAY_BUFFER,cbb);gl.bufferData(gl.ARRAY_BUFFER,scovB,gl.DYNAMIC_DRAW);bindInst(cbb,4,3,gl.FLOAT,false);
+ bindInst(bufs[2],3,3,gl.FLOAT,false);
+ bindInst(bufs[3],4,3,gl.FLOAT,false);
+ bindInst(bufs[4],5,3,gl.FLOAT,false);
+ bindInst(bufs[5],6,3,gl.FLOAT,false);
+ bindInst(bufs[6],7,3,gl.FLOAT,false);
  const f_px=0.8*w;
  gl.uniformMatrix4fv(gl.getUniformLocation(prog,"view"),false,new Float32Array(V));
  gl.uniform1f(gl.getUniformLocation(prog,"fx"),f_px);
  gl.uniform1f(gl.getUniformLocation(prog,"fy"),f_px);
  gl.uniform2f(gl.getUniformLocation(prog,"vp"),w,h);
+ gl.uniform3f(gl.getUniformLocation(prog,"eye"),eye[0],eye[1],eye[2]);
  gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
  frames++;const now=performance.now();
  if(now-lastT>500){hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | drag orbit, shift-drag pan, wheel zoom`;frames=0;lastT=now;}
@@ -178,18 +218,21 @@ def _f16_bits(x: np.ndarray) -> np.ndarray:
 def export_html(
     splats: SplatData,
     output: str | Path,
-    max_points: int = 250_000,
+    max_points: int = 1_000_000,
     seed: int = 0,
 ) -> Path:
-    """Write a standalone interactive HTML viewer for the splat model."""
+    """Write a standalone interactive HTML viewer for the splat model.
+    View-dependent color up to SH degree 1 (int8-quantized coefficients);
+    `max_points` caps the embed size by opacity-weighted importance."""
     import jax.numpy as jnp
 
     n = int(splats.n_active)
     means = np.asarray(splats.means[:n])
     opac = np.asarray(jnp.clip(jnp.round(255 * (1 / (1 + np.e ** -np.asarray(splats.opacity[:n, 0])))), 0, 255)).astype(np.uint8)
-    # DC color only (view-independent approximation for the lightweight viewer)
     sh0 = np.asarray(splats.sh0[:n, 0, :])
     rgb = np.clip((0.5 + 0.28209479177387814 * sh0) * 255.0, 0, 255).astype(np.uint8)
+    # degree-1 coefficients [n, 3(coeff), 3(rgb)] (shN rows 0-2)
+    shn = np.asarray(splats.shN[:n, :3, :]).astype(np.float32)
 
     from lichtfeld_studio_tpu.ops.gaussians import quat_scale_to_cov3d
 
@@ -202,19 +245,30 @@ def export_html(
     if n > max_points:
         w = opac.astype(np.float64) + 1.0
         sel = np.random.default_rng(seed).choice(n, max_points, replace=False, p=w / w.sum())
-        means, rgb, opac, cov6 = means[sel], rgb[sel], opac[sel], cov6[sel]
+        means, rgb, opac, cov6, shn = means[sel], rgb[sel], opac[sel], cov6[sel], shn[sel]
         n = max_points
 
-    stride = 12 + 4 + 12
+    sh1_scale = float(max(np.abs(shn).max(), 1e-6)) / 127.0
+    sh1_q = np.clip(np.round(shn / sh1_scale), -127, 127).astype(np.int8)
+    # JS layout wants [coeff c][xyz of coeff]: store as (c0_rgb, c1_rgb, c2_rgb)
+    sh1_bytes = sh1_q.transpose(0, 1, 2).reshape(n, 9)
+
+    stride = 12 + 4 + 12 + 9
     buf = np.zeros((n, stride), np.uint8)
     buf[:, 0:12] = means.astype("<f4").view(np.uint8).reshape(n, 12)
     buf[:, 12:15] = rgb
     buf[:, 15] = opac
     buf[:, 16:28] = _f16_bits(cov6.astype(np.float32)).astype("<u2").view(np.uint8).reshape(n, 12)
+    buf[:, 28:37] = sh1_bytes.view(np.uint8)
 
     center = means.mean(axis=0)
     radius = float(np.percentile(np.linalg.norm(means - center, axis=1), 90))
-    meta = {"count": n, "center": [float(c) for c in center], "radius": max(radius, 1e-3)}
+    meta = {
+        "count": n,
+        "center": [float(c) for c in center],
+        "radius": max(radius, 1e-3),
+        "sh1_scale": sh1_scale,
+    }
 
     html = _HTML_TEMPLATE.replace("__META__", json.dumps(meta)).replace(
         "__DATA__", base64.b64encode(buf.tobytes()).decode()

@@ -89,6 +89,25 @@ def main():
     # the fog-cleanup phase on this synthetic scene — SSIM is the signal.)
     assert np.isfinite(psnrs).all() and np.isfinite(stats["final_loss"]), (psnrs, stats)
     assert ssims[-1] > ssims[0] + 0.1, (psnrs, ssims)
+
+    # --- on-device compiled-kernel parity gate (VERDICT r1): the Mosaic-
+    # compiled Pallas blend must match the dense tiles blend on the TRAINED
+    # model (DMA alignment, semaphores, early termination, bf16 color path)
+    if jax.default_backend() in ("tpu", "axon"):
+        cam = look_at_camera(
+            4.5 * np.array([np.sin(0.7), -0.25, -np.cos(0.7)]), np.zeros(3),
+            np.array([0.0, -1.0, 0.0]), fx=450.0, fy=450.0, width=W, height=H,
+        ).device_params()
+        splats = trainer.state.splats
+        a = rasterize(splats, cam, jnp.zeros(3), mode="pallas", instance_cap=2**21)
+        b = rasterize(splats, cam, jnp.zeros(3), mode="tiles",
+                      instance_cap=2**21, k_max=4096)
+        err = np.abs(np.asarray(a.image) - np.asarray(b.image))
+        med, frac = float(np.median(err)), float((err < 0.05).mean())
+        print(f"compiled-parity: median|pallas-tiles| = {med:.5f}, "
+              f"within 0.05: {frac:.4f}", flush=True)
+        assert med < 2e-3 and frac > 0.995, (med, frac)
+
     print(f"SELFCHECK OK: PSNR {psnrs}", flush=True)
 
 
