@@ -220,9 +220,27 @@ def parse_args_and_params(argv: list[str] | None = None) -> TrainingParameters:
     )
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA compiles across CLI runs. A cold compile of the train
+    step takes minutes on a small host driving a remote TPU; the cache turns
+    every repeat invocation (same shapes/flags) into a ~1 s load."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpu_cache")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv: list[str] | None = None) -> int:
     params = parse_args_and_params(argv)
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
 
     from lichtfeld_studio_tpu.core.logging import setup_logging
 

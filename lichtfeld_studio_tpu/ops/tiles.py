@@ -89,24 +89,6 @@ def _select_bit(mask: jax.Array, r: jax.Array) -> jax.Array:
     return k
 
 
-def _mxu_histogram(ids: jax.Array, num_bins: int) -> jax.Array:
-    """Exact histogram of int32 ids in [0, num_bins) as ONE bf16 one-hot
-    matmul with f32 accumulation (exact for counts < 2^24). TPU scatter-add
-    at multi-million update counts runs ~20 ms where this runs ~4 ms
-    (PERFNOTES): factorize id = hi * 128 + lo and compute
-    onehot(hi)^T @ onehot(lo) on the MXU."""
-    n_hi = -(-num_bins // 128)
-    hi = ids >> 7
-    lo = ids & 127
-    oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    oh_lo = (lo[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    hist = jax.lax.dot_general(
-        oh_hi, oh_lo, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [n_hi, 128]
-    return hist.reshape(-1)[:num_bins].astype(jnp.int32)
-
-
 def _owner_from_offsets(offsets: jax.Array, size: int) -> jax.Array:
     """For each slot in [0, size): index of the last segment whose start
     offset is <= slot (== searchsorted(offsets, slot, 'right') - 1, built
@@ -221,17 +203,12 @@ def build_tile_assignment(
     # tile, so a binary search with num_tiles+1 queries (tiny) replaces a
     # multi-million-update segment_sum (~23 ms -> ~2 ms at a 2.5M cap). The
     # inference path keeps the (pre-sort) MXU one-hot histogram ---
-    if need_grad:
-        starts_q = jnp.searchsorted(
-            tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)  # [T+1]; starts_q[T] == n_valid instances
-        counts = starts_q[1:] - starts_q[:-1]
-        start_compact = starts_q[:num_tiles]
-        n_valid = starts_q[num_tiles]
-    else:
-        counts = _mxu_histogram(tile, num_tiles + 1)[:num_tiles]
-        start_compact = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-        n_valid = start_compact[num_tiles - 1] + counts[num_tiles - 1]
+    starts_q = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)  # [T+1]; starts_q[T] == n_valid instances
+    counts = starts_q[1:] - starts_q[:-1]
+    start_compact = starts_q[:num_tiles]
+    n_valid = starts_q[num_tiles]
 
     if chunk_align <= 1:
         return TileAssignment(

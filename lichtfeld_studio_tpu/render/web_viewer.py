@@ -255,11 +255,15 @@ def export_html(
 
     stride = 12 + 4 + 12 + 9
     buf = np.zeros((n, stride), np.uint8)
-    buf[:, 0:12] = means.astype("<f4").view(np.uint8).reshape(n, 12)
+    buf[:, 0:12] = np.ascontiguousarray(means.astype("<f4")).view(np.uint8).reshape(n, 12)
     buf[:, 12:15] = rgb
     buf[:, 15] = opac
-    buf[:, 16:28] = _f16_bits(cov6.astype(np.float32)).astype("<u2").view(np.uint8).reshape(n, 12)
-    buf[:, 28:37] = sh1_bytes.view(np.uint8)
+    buf[:, 16:28] = (
+        np.ascontiguousarray(_f16_bits(cov6.astype(np.float32)).astype("<u2"))
+        .view(np.uint8)
+        .reshape(n, 12)
+    )
+    buf[:, 28:37] = np.ascontiguousarray(sh1_bytes).view(np.uint8)
 
     center = means.mean(axis=0)
     radius = float(np.percentile(np.linalg.norm(means - center, axis=1), 90))
