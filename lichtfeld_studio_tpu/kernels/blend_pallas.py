@@ -451,16 +451,17 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _pack8(packed16: jax.Array) -> jax.Array:
-    """[N, 16] f32 per-gaussian features -> [N, 8] streamed layout:
-    rows 0-5 geometry, 6 = bf16(r)|bf16(g), 7 = bf16(b)|bf16(aux)."""
+def _pack8_t(packed16_t: jax.Array) -> jax.Array:
+    """[16, N] f32 per-gaussian features (feature-major, tiles.pack_features_t)
+    -> [8, N] streamed layout: rows 0-5 geometry, 6 = bf16(r)|bf16(g),
+    7 = bf16(b)|bf16(aux)."""
     return jnp.concatenate(
         [
-            packed16[:, 0:6],
-            pack_bf16_pair(packed16[:, 8], packed16[:, 9])[:, None],
-            pack_bf16_pair(packed16[:, 10], packed16[:, 11])[:, None],
+            packed16_t[0:6],
+            pack_bf16_pair(packed16_t[8], packed16_t[9])[None, :],
+            pack_bf16_pair(packed16_t[10], packed16_t[11])[None, :],
         ],
-        axis=1,
+        axis=0,
     )
 
 
@@ -541,33 +542,33 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _blend_gathered(
-    packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     out, _ = _blend_gathered_fwd(
-        packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+        packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
         grid_w, grid_h, tile_size, source_cap, aligned,
     )
     return out
 
 
-def _gather_stream(packed16, g_pad, valid):
-    """[N,16] -> streamed [8, I_pad(+chunk pad)]: bf16-pack colors at the
-    gaussian level, ONE half-width row gather, transpose, chunk-pad."""
-    feat8 = _pack8(packed16)  # [N, 8]
-    gathered = jnp.where(valid[:, None], feat8[g_pad], 0.0)  # [I_pad, 8]
-    feat_t = gathered.T  # [8, I_pad]
-    i = feat_t.shape[1]
+def _gather_stream(packed16_t, g_pad, valid):
+    """[16,N] -> streamed [8, I_pad(+chunk pad)]: bf16-pack colors at the
+    gaussian level, ONE half-width LANE gather (instances stay on the lane
+    axis end to end — no transpose, no 128-lane padding waste)."""
+    feat8_t = _pack8_t(packed16_t)  # [8, N]
+    gathered = jnp.where(valid[None, :], jnp.take(feat8_t, g_pad, axis=1), 0.0)
+    i = gathered.shape[1]
     pad = (-i) % CHUNK + CHUNK
-    return jnp.pad(feat_t, ((0, 0), (0, pad)))
+    return jnp.pad(gathered, ((0, 0), (0, pad)))
 
 
 def _blend_gathered_fwd(
-    packed16, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, aligned,
 ):
     tile_start, tile_count = tile_counts_pair
-    feat_t = _gather_stream(packed16, g_pad, valid)
+    feat_t = _gather_stream(packed16_t, g_pad, valid)
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=aligned
     )
@@ -581,7 +582,8 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_o
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
     (scatter-free; see ops.tiles.sort_rows_to_slot_order for the cost
     analysis). The bf16 color quantizer is straight-through."""
-    from lichtfeld_studio_tpu.ops.tiles import segment_sum_by_prefix, sort_rows_to_slot_order
+    from lichtfeld_studio_tpu.kernels.segment_reduce import grad_segment_reduce_packed
+    from lichtfeld_studio_tpu.ops.tiles import sort_rows_to_slot_order
 
     feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out = res
     dfeat_t = _backward_call(
@@ -589,33 +591,21 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_o
     )
     i_pad = slot_layout.shape[0]
     cols = sort_rows_to_slot_order(
-        [dfeat_t[k, :i_pad] for k in range(GRAD_ROWS)], slot_layout, valid, source_cap
-    )  # 8 x [source_cap] (colors bf16-paired in cols 6-7)
-    dr, dg = unpack_bf16_pair(cols[6])
-    db, da = unpack_bf16_pair(cols[7])
-    d_pre = jnp.stack(
-        cols[:6] + [dr, dg, db, da], axis=1
-    )  # [source_cap, GRAD_COLS] full f32 for the prefix accumulation
-    d10 = segment_sum_by_prefix(d_pre, n_touched, source_cap)  # [N, GRAD_COLS]
-    n = d10.shape[0]
-    # back to the pack_features row layout: 0-5 geometry, 8-11 colors
-    dpacked = jnp.concatenate(
-        [
-            d10[:, :6],
-            jnp.zeros((n, 2), jnp.float32),
-            d10[:, 6:10],
-            jnp.zeros((n, 4), jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 16]
-    return (dpacked, None, None, None, None, None)
+        [dfeat_t[k, :i_pad] for k in range(GRAD_ROWS)], slot_layout, valid,
+        source_cap, slice_to_cap=False,
+    )  # 8 x [i_pad] (colors bf16-paired in cols 6-7)
+    # per-gaussian reduction + color unpack + pack_features layout in ONE
+    # Pallas pass (interval-membership MXU matmul, see kernels/segment_reduce);
+    # the [16, N] feature-major cotangent matches pack_features_t
+    dpacked_t = grad_segment_reduce_packed(cols, n_touched, source_cap)  # [16, N]
+    return (dpacked_t, None, None, None, None, None)
 
 
 _blend_gathered.defvjp(_blend_gathered_fwd, _blend_gathered_bwd)
 
 
 def blend_pallas_fused(
-    packed16: jax.Array,  # [N, 16] per-gaussian features (ops.tiles.pack_features)
+    packed16_t: jax.Array,  # [16, N] feature-major (ops.tiles.pack_features_t)
     assignment,  # TileAssignment (chunk-aligned layout)
     n_touched: jax.Array,  # [N]
     *,
@@ -627,7 +617,7 @@ def blend_pallas_fused(
     """Gather + Pallas blend fused behind one custom VJP.
     Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
     out = _blend_gathered(
-        packed16,
+        packed16_t,
         assignment.gaussian_idx,
         assignment.slot_layout,
         assignment.instance_valid,

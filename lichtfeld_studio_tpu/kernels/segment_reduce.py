@@ -1,0 +1,241 @@
+"""Pallas TPU segment-sum over contiguous slot segments (gradient reduction).
+
+Reduces per-instance gradient rows (pre-sort "slot" order, where every
+gaussian's instances are contiguous) to per-gaussian sums. This replaces the
+prefix-sum + boundary-gather construction (ops/tiles.py::
+segment_sum_by_prefix) for wide rows: on v5e a [1M,10] boundary gather from
+a [2.5M,10] prefix table costs ~27 ms (row widths > 8 fall off the fast
+gather path) plus ~6 ms of cumsum, where this kernel runs ~12 ms total.
+
+The kernel streams the rows once and reduces each 512-gaussian output block
+with an interval-membership matrix contracted on the MXU:
+
+    m[n, j] = (slot_j >= off[n]) & (slot_j < off[n+1])   in {0.0, 1.0}
+    out[n, :] = m[n, j] @ rows[:, j]^T
+
+m is built from two monotone >= compares (off is non-decreasing), so the
+whole reduction is compares + one [BN,IN]x[IN,C] matmul per streamed chunk
+— no gather, no scatter, no sort. Reference semantics: the warp-atomic
+per-gaussian gradient accumulation of fastgs kernels_backward.cuh,
+re-derived for a systolic/vector machine.
+
+`unpack_pairs=True` consumes the blend backward's native 8-row stream
+(6 f32 geometry rows + 2 bf16-pair color words, kernels/blend_pallas.py)
+and emits gradients directly in the 16-column pack_features layout
+(cols 0-5 geometry, 8-11 colors), so the caller needs no unpack, restack,
+or transpose at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_N = 512  # gaussians per output block
+IN_CHUNK = 1024  # slots streamed per inner step
+OFF_PAD = IN_CHUNK + BLOCK_N + 128  # slack past the last off entry
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _unpack_pair_rows(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One f32 row of bf16 pairs -> (hi, lo) f32 rows (see blend_pallas)."""
+    b = jax.lax.bitcast_convert_type(w, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(b & ~0xFFFF, jnp.float32)
+    lo = jax.lax.bitcast_convert_type(b << 16, jnp.float32)
+    return hi, lo
+
+
+def _segment_reduce_kernel(
+    off_hbm,  # [1, NB*BN + OFF_PAD] int32 ANY — segment offsets (clipped)
+    *refs,  # F col refs ([cap_pad] f32 ANY, slot-ordered), then out + scratch
+    n_feat: int,
+    out_cols: int,
+    unpack_pairs: bool,
+    feature_major_out: bool,
+):
+    cols_hbm = refs[:n_feat]
+    out_ref, off_v = refs[n_feat : n_feat + 2]
+    col_s = refs[n_feat + 2 : 2 * n_feat + 2]  # F x [2, IN] VMEM scratch
+    osem, sem = refs[2 * n_feat + 2 :]
+    k = pl.program_id(0)
+    ocopy = pltpu.make_async_copy(
+        off_hbm.at[:, pl.ds(k * BLOCK_N, BLOCK_N + 128)], off_v, osem
+    )
+    ocopy.start()
+    ocopy.wait()
+    off_lo = off_v[0, 0]
+    off_end = off_v[0, BLOCK_N]
+    base = pl.multiple_of((off_lo // IN_CHUNK) * IN_CHUNK, IN_CHUNK)
+    n_chunks = pl.cdiv(off_end - base, IN_CHUNK)
+
+    # off boundaries as a column for the membership compares: m[n, j]
+    offs = off_v[0, :][:, None]  # [BN+128, 1]
+
+    def dmas(slot, t):
+        # col_s buffers are flat [2*IN]; slot slices are IN-multiples, which
+        # keeps both the DMA target and the vector reads lane-tile aligned
+        return [
+            pltpu.make_async_copy(
+                cols_hbm[kk].at[pl.ds(base + t * IN_CHUNK, IN_CHUNK)],
+                col_s[kk].at[pl.ds(slot * IN_CHUNK, IN_CHUNK)],
+                sem.at[slot, kk],
+            )
+            for kk in range(n_feat)
+        ]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    def body(t, acc):
+        slot = t % 2
+
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            for c in dmas((t + 1) % 2, t + 1):
+                c.start()
+
+        for c in dmas(slot, t):
+            c.wait()
+        rows = jnp.stack(
+            [col_s[kk][pl.ds(slot * IN_CHUNK, IN_CHUNK)] for kk in range(n_feat)]
+        )  # [F, IN]
+        if unpack_pairs:
+            # blend backward stream -> pack_features 16-col layout
+            r, g = _unpack_pair_rows(rows[6, :])
+            b, aux = _unpack_pair_rows(rows[7, :])
+            zero = jnp.zeros_like(r)
+            rows_v = jnp.stack(
+                [
+                    rows[0, :], rows[1, :], rows[2, :], rows[3, :], rows[4, :],
+                    rows[5, :], zero, zero, r, g, b, aux, zero, zero, zero, zero,
+                ]
+            )  # [16, IN]
+        else:
+            rows_v = rows
+
+        slot_ids = base + t * IN_CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, IN_CHUNK), 1
+        )  # [1, IN]
+        ge = (slot_ids >= offs).astype(jnp.float32)  # [BN+128, IN], monotone in n
+        m = ge[:BLOCK_N, :] - ge[1 : BLOCK_N + 1, :]  # interval membership {0,1}
+        if feature_major_out:
+            upd = jax.lax.dot_general(
+                rows_v,
+                m,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [C, BN]
+        else:
+            upd = jax.lax.dot_general(
+                m,
+                rows_v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [BN, C]
+        return acc + upd
+
+    acc_shape = (
+        (out_cols, BLOCK_N) if feature_major_out else (BLOCK_N, out_cols)
+    )
+    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(acc_shape, jnp.float32))
+    out_ref[...] = acc
+
+
+def _segment_reduce_call(
+    cols: list[jax.Array],  # F x [>= cap + IN_CHUNK] f32, invalid rows zeroed
+    n_touched: jax.Array,  # [N] int32
+    source_cap: int,
+    out_cols: int,
+    unpack_pairs: bool,
+    feature_major_out: bool = False,
+) -> jax.Array:
+    n = n_touched.shape[0]
+    f = len(cols)
+    nb = -(-n // BLOCK_N)
+    ends = jnp.cumsum(n_touched)
+    off = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), ends.astype(jnp.int32)]),
+        source_cap,
+    )  # [N+1]
+    off_pad = jnp.full((nb * BLOCK_N + OFF_PAD,), source_cap, jnp.int32)
+    off_pad = jax.lax.dynamic_update_slice(off_pad, off, (0,))[None, :]
+
+    # chunk DMAs read [base, base + k*IN_CHUNK) with base <= off <= cap and
+    # end < cap + 2*IN_CHUNK — pad each column if it is too short (only ever
+    # triggers for tiny test grids; production layouts carry ample slack)
+    need = source_cap + 2 * IN_CHUNK
+    if cols[0].shape[0] < need:
+        cols = [jnp.pad(c, (0, need - c.shape[0])) for c in cols]
+
+    if feature_major_out:
+        out_specs = pl.BlockSpec(
+            (out_cols, BLOCK_N), lambda k: (0, k), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((out_cols, nb * BLOCK_N), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (BLOCK_N, out_cols), lambda k: (k, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((nb * BLOCK_N, out_cols), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(
+            _segment_reduce_kernel,
+            n_feat=f,
+            out_cols=out_cols,
+            unpack_pairs=unpack_pairs,
+            feature_major_out=feature_major_out,
+        ),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + f),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, BLOCK_N + 128), jnp.int32),
+            *[pltpu.VMEM((2 * IN_CHUNK,), jnp.float32) for _ in range(f)],
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2, f)),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(off_pad, *cols)
+    return out[:, :n] if feature_major_out else out[:n]
+
+
+def segment_reduce_cols(
+    cols: list[jax.Array],  # F x [cap or longer] f32 — slot-ordered columns
+    n_touched: jax.Array,  # [N] int32 — segment lengths (expansion counts)
+    source_cap: int,
+) -> jax.Array:
+    """Per-gaussian sums of contiguous slot segments -> [N, F] f32.
+
+    Segment n covers slots [off[n], off[n+1]) with off = exclusive cumsum of
+    n_touched, clipped to source_cap (overflow-dropped instances contribute
+    zero, matching the binning overflow policy). Column entries beyond
+    source_cap are never read."""
+    return _segment_reduce_call(list(cols), n_touched, source_cap, len(cols), False)
+
+
+def grad_segment_reduce_packed(
+    cols8: list[jax.Array],  # 8 x [cap or longer] f32 — blend bwd stream
+    n_touched: jax.Array,  # [N] int32
+    source_cap: int,
+) -> jax.Array:
+    """Blend-backward gradient columns (slot order, packed stream layout:
+    6 geometry + 2 bf16-pair color words) -> per-gaussian gradients [16, N],
+    feature-major, directly in the pack_features_t row layout (0-5 geometry,
+    8-11 colors, rest zero)."""
+    assert len(cols8) == 8
+    return _segment_reduce_call(
+        list(cols8), n_touched, source_cap, 16, True, feature_major_out=True
+    )

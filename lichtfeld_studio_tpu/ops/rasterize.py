@@ -31,6 +31,7 @@ from lichtfeld_studio_tpu.ops.tiles import (
     build_tile_assignment,
     gather_instance_features,
     pack_features,
+    pack_features_t,
 )
 
 
@@ -213,7 +214,7 @@ def rasterize(
                 chunk_align=1 if inference else CHUNK, need_grad=not inference,
             )
             image4, alpha = blend_pallas_fused(
-                pack_features(proj, with_depth),
+                pack_features_t(proj, with_depth),
                 assignment,
                 proj.n_touched,
                 grid_w=grid_w,

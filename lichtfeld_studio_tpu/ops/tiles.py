@@ -150,25 +150,28 @@ def build_tile_assignment(
     #   w2 = depth key bits, w3 = exact-contribution tile mask ---
     bbox = proj.bbox  # [C, 4] (x_min, x_max, y_min, y_max)
     bb_w = jnp.maximum(bbox[:, 1] - bbox[:, 0], 1)
-    payload = jnp.stack(
+    # feature-major [4, C]: a [C,4] int32 array tiles as T(*,128) and pads
+    # its minor dim 4 -> 128 lanes (32x HBM blowup); [4, C] keeps gaussians
+    # on the lane axis so the gather reads/writes only real data
+    payload_t = jnp.stack(
         [
             bbox[:, 0] | (bbox[:, 2] << 16),
             bb_w | (n_touched << 10),
             _depth_key_bits(proj.depth),
             proj.tile_mask,
         ],
-        axis=-1,
-    )  # [C, 4] int32
-    pl = payload[g]  # [I, 4]
-    x_min_i = pl[:, 0] & 0xFFFF
-    y_min_i = (pl[:, 0] >> 16) & 0xFFFF
-    bb_w_i = pl[:, 1] & 0x3FF
-    nt_i = pl[:, 1] >> 10
+        axis=0,
+    )  # [4, C] int32
+    pl_t = jnp.take(payload_t, g, axis=1)  # [4, I]
+    x_min_i = pl_t[0] & 0xFFFF
+    y_min_i = (pl_t[0] >> 16) & 0xFFFF
+    bb_w_i = pl_t[1] & 0x3FF
+    nt_i = pl_t[1] >> 10
     inst_valid = (slot < total) & (rank < nt_i)
 
     # rank -> bbox cell: the rank-th *contributing* cell when the exact
     # tile_mask is present (mask == 0 means conservative full bbox)
-    mask = pl[:, 3]
+    mask = pl_t[3]
     cell = jnp.where(mask != 0, _select_bit(mask, rank), rank)
     t_x = x_min_i + cell % bb_w_i
     t_y = y_min_i + cell // bb_w_i
@@ -186,7 +189,7 @@ def build_tile_assignment(
     # tiebreaker operand per sort on TPU
     if fused_key:
         key = (tile << depth_keep) | jax.lax.shift_right_logical(
-            pl[:, 2], 31 - depth_keep
+            pl_t[2], 31 - depth_keep
         )
         key_sorted, slot_sorted, g_sorted = jax.lax.sort(
             (key, slot, g), dimension=0, num_keys=1, is_stable=False
@@ -194,7 +197,7 @@ def build_tile_assignment(
         tile_sorted = key_sorted >> depth_keep
     else:
         tile_sorted, _, slot_sorted, g_sorted = jax.lax.sort(
-            (tile, pl[:, 2], slot, g), dimension=0, num_keys=2, is_stable=False
+            (tile, pl_t[2], slot, g), dimension=0, num_keys=2, is_stable=False
         )
     valid_sorted = tile_sorted < num_tiles
     g_sorted = jnp.where(valid_sorted, g_sorted, 0)
@@ -324,11 +327,46 @@ def pack_features(proj: ProjectedSplats, with_depth: bool = False) -> jax.Array:
     )
 
 
+def pack_features_t(proj: ProjectedSplats, with_depth: bool = False) -> jax.Array:
+    """Feature-major packed per-gaussian blend features [16, C] f32.
+
+    Same row meaning as pack_features (0 mean_x, 1 mean_y, 2-4 conic,
+    5 opacity, 8-10 rgb, 11 depth) but with gaussians on the LANE axis:
+    a [C, 16] array tiles as T(8,128) on TPU and pads its 16-wide minor dim
+    to 128 lanes — an 8x HBM blowup on every materialization. [16, C] keeps
+    lanes fully utilized; this is the production (pallas) layout."""
+    c = proj.mean2d.shape[0]
+    zeros = jnp.zeros((c,), proj.depth.dtype)
+    depth_ch = proj.depth if with_depth else zeros
+    return jnp.stack(
+        [
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.opacity,
+            zeros,
+            zeros,
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            depth_ch,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+        ],
+        axis=0,
+    )
+
+
 def sort_rows_to_slot_order(
     columns: list[jax.Array],  # each [I_layout]
     slot_layout: jax.Array,  # [I_layout]
     valid: jax.Array,  # [I_layout] bool
     source_cap: int,
+    slice_to_cap: bool = True,
 ) -> list[jax.Array]:
     """Per-instance gradient columns (layout order) -> pre-sort slot order.
 
@@ -346,6 +384,11 @@ def sort_rows_to_slot_order(
     sorted_all = jax.lax.sort(
         (slot_layout, *cols), dimension=0, num_keys=1, is_stable=False
     )
+    if not slice_to_cap:
+        # rows beyond source_cap are slack/filler (sentinel-keyed, sorted to
+        # the end) — callers that never read past source_cap can skip the
+        # 8 slice copies (the segment-reduce kernel bounds reads by off<=cap)
+        return list(sorted_all[1:])
     return [c[:source_cap] for c in sorted_all[1:]]
 
 
@@ -379,13 +422,15 @@ def _gather_feat_fwd(source_cap, packed, g_pad, slot_layout, valid, n_touched):
 
 
 def _gather_feat_bwd(source_cap, res, dfeat):
+    from lichtfeld_studio_tpu.kernels.segment_reduce import segment_reduce_cols
+
     slot_layout, valid, n_touched = res
     f = dfeat.shape[-1]
     cols = sort_rows_to_slot_order(
-        [dfeat[:, k] for k in range(f)], slot_layout, valid, source_cap
+        [dfeat[:, k] for k in range(f)], slot_layout, valid, source_cap,
+        slice_to_cap=False,
     )
-    d_pre = jnp.stack(cols, axis=1)  # [source_cap, F]
-    dpacked = segment_sum_by_prefix(d_pre, n_touched, source_cap)
+    dpacked = segment_reduce_cols(cols, n_touched, source_cap)
     return (dpacked, None, None, None, None)
 
 

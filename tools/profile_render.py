@@ -43,7 +43,7 @@ def main():
     from lichtfeld_studio_tpu.core.camera import CameraParams, look_at_camera
     from lichtfeld_studio_tpu.core.splat_data import SplatData
     from lichtfeld_studio_tpu.ops.projection import project_gaussians
-    from lichtfeld_studio_tpu.ops.tiles import build_tile_assignment, pack_features
+    from lichtfeld_studio_tpu.ops.tiles import build_tile_assignment, pack_features_t
     from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas_fused
 
     W, H = 1920, 1080
@@ -79,7 +79,7 @@ def main():
     assign, t_bin = timeit(bin_f, proj, label=f"binning (cap {ICAP/1e6:.1f}M)")
     print(f"  n_instances = {int(assign.n_instances)}")
 
-    pack_f = jax.jit(lambda p: pack_features(p, False))
+    pack_f = jax.jit(lambda p: pack_features_t(p, False))
     packed, t_pack = timeit(pack_f, proj, label="pack_features")
 
     blend_f = jax.jit(partial(

@@ -51,7 +51,7 @@ def main():
     from lichtfeld_studio_tpu.ops.projection import project_gaussians
     from lichtfeld_studio_tpu.ops.rasterize import rasterize
     from lichtfeld_studio_tpu.ops.ssim import ssim
-    from lichtfeld_studio_tpu.ops.tiles import build_tile_assignment, pack_features
+    from lichtfeld_studio_tpu.ops.tiles import build_tile_assignment, pack_features_t
     from lichtfeld_studio_tpu.train.state import TrainConfig, StepFlags, init_train_state, make_lrs, train_step
     from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 
@@ -96,7 +96,7 @@ def main():
 
     import functools
     blend_f = jax.jit(lambda p, a: blend_pallas_fused(
-        pack_features(p, False), a, p.n_touched,
+        pack_features_t(p, False), a, p.n_touched,
         grid_w=GW, grid_h=GH, tile_size=TS, n_channels=3)[0])
     _, t_blend = timeit(blend_f, proj, assign, label="pack + blend fwd")
 
