@@ -269,6 +269,16 @@ def _backward_kernel(
     count = tile_count_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
+    # tile-centered pixel moment basis for the geometry-gradient contraction
+    # (loop-invariant; see the moment matmul in the chunk body)
+    cx = ((t % grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
+    cy = ((t // grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
+    pxl = pxc - cx  # [1, P]
+    pyl = pyc - cy
+    basis = jnp.concatenate(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=0,
+    )  # [6, P]
 
     g_img = gout_ref[0, 0:4, :]  # [4, P]
     g_tfin = gout_ref[0, 4, :][None, :]  # [1, P]
@@ -366,21 +376,45 @@ def _backward_kernel(
         # chain into geometry (zero where clamped at 0.999 or skipped)
         live = keep & (raw < MAX_FRAGMENT_ALPHA) & counted & in_range_col
         dalpha = jnp.where(live, dalpha, 0.0)
-        d_op_px = dalpha * g  # da/dop = G
-        d_sig = dalpha * (-alpha)  # da/dsigma2 = -op*G = -alpha (pre-clamp)
-        ca = f[2, :][:, None]
-        cb = f[3, :][:, None]
-        cc = f[4, :][:, None]
+        u = dalpha * (-alpha)  # d(loss)/d(sigma2) per pixel (pre-clamp alpha)
 
-        def rowsum(x):  # [CHUNK, P] -> [CHUNK]
-            return jnp.sum(x, axis=1)
-
-        d_mx = rowsum(d_sig * (ca * dx + cb * dy))
-        d_my = rowsum(d_sig * (cc * dy + cb * dx))
-        d_ca = rowsum(d_sig * 0.5 * dx * dx)
-        d_cb = rowsum(d_sig * dx * dy)
-        d_cc = rowsum(d_sig * 0.5 * dy * dy)
-        d_op = rowsum(d_op_px)
+        # --- geometry gradients via ONE moment matmul ---------------------
+        # dx = mx - px is separable, so every per-pixel reduction
+        #   sum_p u * poly(dx, dy)
+        # is linear in the six moments M = u @ [1, px, py, px^2, px*py, py^2]
+        # (pixel coords TILE-CENTERED to keep the expansion cancellation
+        # benign). This replaces six [CHUNK, P] VPU rowsum chains with one
+        # [CHUNK, P] x [P, 6] MXU contraction — the backward kernel is VPU
+        # compute-bound, so cutting per-pixel polynomial work is the lever.
+        # d_op rides the same moments: within `live`, g = alpha / op, so
+        # sum_p dalpha * g = -(sum_p u) / op = -S0 / op.
+        # [6, CHUNK] orientation: instances stay on the LANE axis so the
+        # row extracts below are plain sublane reads (no relayout)
+        mom = jax.lax.dot_general(
+            basis, u, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [6, CHUNK]
+        s0 = mom[0, :]
+        sx = mom[1, :]
+        sy = mom[2, :]
+        sxx = mom[3, :]
+        sxy = mom[4, :]
+        syy = mom[5, :]
+        ca = f[2, :]
+        cb = f[3, :]
+        cc = f[4, :]
+        op = f[5, :]
+        mxc = f[0, :] - cx  # tile-centered means [CHUNK]
+        myc = f[1, :] - cy
+        ex = mxc * s0 - sx  # sum_p u * dx
+        ey = myc * s0 - sy
+        d_mx = ca * ex + cb * ey
+        d_my = cc * ey + cb * ex
+        d_ca = 0.5 * (mxc * mxc * s0 - 2.0 * mxc * sx + sxx)
+        d_cb = mxc * myc * s0 - mxc * sy - myc * sx + sxy
+        d_cc = 0.5 * (myc * myc * s0 - 2.0 * myc * sy + syy)
+        d_op = -s0 / jnp.maximum(op, 1e-12)
 
         # double-buffered writeback: reclaim this slot's previous copy, fill,
         # start — the DMA overlaps the next chunk's compute

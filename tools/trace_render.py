@@ -48,13 +48,14 @@ def main():
     img = f(sd, *args); _ = float(img.ravel()[0])
 
     outdir = "/tmp/lfs_rtrace"
+    import shutil; shutil.rmtree(outdir, ignore_errors=True)
     jax.profiler.start_trace(outdir)
     for _ in range(3):
         img = f(sd, *args)
     _ = float(img.ravel()[0])
     jax.profiler.stop_trace()
 
-    evs = glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
+    evs = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True), key=os.path.getmtime)
     with gzip.open(evs[-1], "rt") as fh:
         data = json.load(fh)
     tot = defaultdict(float)

@@ -71,6 +71,7 @@ def main():
     _ = float(m["loss"])
 
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lfs_trace"
+    import shutil; shutil.rmtree(outdir, ignore_errors=True)
     jax.profiler.start_trace(outdir)
     for _ in range(3):
         state2, m = f(state)
@@ -80,7 +81,10 @@ def main():
 
     # parse trace: sum durations per hlo op name from the xplane pb? Use the
     # trace-events json if present.
-    evs = glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
+    evs = sorted(
+        glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True),
+        key=os.path.getmtime,
+    )
     if not evs:
         print("no trace.json.gz found; files:",
               [str(p) for p in Path(outdir).rglob("*")][:20])
