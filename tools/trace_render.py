@@ -41,7 +41,7 @@ def main():
         s, CameraParams(w2c=w2c, cam_position=cp,
                         K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
                         uid=jnp.asarray(0, jnp.int32), width=W, height=H),
-        jnp.zeros(3), mode="pallas", instance_cap=2_500_000, inference=True).image)
+        jnp.zeros(3), mode="pallas", instance_cap=2_097_152, inference=True).image)
     c = look_at_camera(8.0 * np.array([np.sin(0.3), -0.1, -np.cos(0.3)]), np.zeros(3),
                        np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
     args = (jnp.asarray(c.w2c), jnp.asarray(c.cam_position))
