@@ -153,6 +153,7 @@ def _forward_kernel(
     grid_w: int,
     tile_size: int,
     aligned: bool,
+    chunk: int = CHUNK,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
@@ -163,20 +164,20 @@ def _forward_kernel(
     # offset arithmetic/masking is compiled out of the train step.
     count = tile_count_ref[t]
     if aligned:
-        start = pl.multiple_of(tile_start_ref[t], CHUNK)
+        start = pl.multiple_of(tile_start_ref[t], chunk)
         off = 0
         base = start
     else:
         start = tile_start_ref[t]
-        off = jax.lax.rem(start, CHUNK)
-        base = pl.multiple_of(start - off, CHUNK)
+        off = jax.lax.rem(start, chunk)
+        base = pl.multiple_of(start - off, chunk)
     end_rel = off + count
-    n_chunks = pl.cdiv(end_rel, CHUNK)
+    n_chunks = pl.cdiv(end_rel, chunk)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(base + ci * CHUNK, CHUNK)],
+            feat_hbm.at[:, pl.ds(base + ci * chunk, chunk)],
             feat_s.at[slot],
             sem.at[slot],
         )
@@ -201,11 +202,11 @@ def _forward_kernel(
         f = feat_s[slot]  # [8, CHUNK]
 
         alpha, _ = _masked_alpha(f, pxc, pyc)  # [CHUNK, P]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         if aligned:
-            in_range = lane < count - ci * CHUNK
+            in_range = lane < count - ci * chunk
         else:
-            gi = ci * CHUNK + lane
+            gi = ci * chunk + lane
             in_range = (gi >= off) & (gi < end_rel)
         alpha = jnp.where(in_range, alpha, 0.0)
 
@@ -213,7 +214,7 @@ def _forward_kernel(
         p_incl = t_carry * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
         # exclusive product = inclusive shifted down one row (leading 1)
-        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:CHUNK]
+        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
         w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
@@ -499,11 +500,13 @@ def _pack8_t(packed16_t: jax.Array) -> jax.Array:
     )
 
 
-def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=True):
+def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
+                  aligned=True, chunk=CHUNK):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
     kernel = functools.partial(
-        _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned
+        _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
+        chunk=chunk,
     )
     return pl.pallas_call(
         kernel,
@@ -515,7 +518,7 @@ def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, ali
                 (1, OUT_ROWS, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT_ROWS_IN, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -603,8 +606,11 @@ def _blend_gathered_fwd(
 ):
     tile_start, tile_count = tile_counts_pair
     feat_t = _gather_stream(packed16_t, g_pad, valid)
+    # unaligned (inference) runs half-size chunks: boundary waste per tile
+    # averages chunk/2 lanes, and the forward-only working set is small
     out = _forward_call(
-        feat_t, tile_start, tile_count, grid_w, grid_h, tile_size, aligned=aligned
+        feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
+        aligned=aligned, chunk=CHUNK if aligned else CHUNK // 2,
     )
     return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
 
