@@ -59,7 +59,9 @@ def main():
     # Instance-buffer capacity: this scene peaks at ~2.15M exact-counted
     # instances; every binning/gather/blend cost scales with the static cap,
     # so size it with ~15% headroom (overflow is detected and reported).
-    ICAP = 2_500_000
+    # 32px tiles: this scene peaks at ~1.25M instances (vs ~2.15M at 16px)
+    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_500_000))
+    TS = int(os.environ.get("LFS_BENCH_TS", 32))
 
     rng = np.random.default_rng(0)
     pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
@@ -87,6 +89,7 @@ def main():
     cfg = TrainConfig(
         iterations=30_000,
         raster_mode=mode,
+        tile_size=TS,
         instance_cap=ICAP,
         k_max=1024,
         mcmc=MCMCConfig(max_cap=CAP, start_refine=5, stop_refine=1000, refine_every=10),

@@ -261,14 +261,15 @@ def _backward_kernel(
     *,
     grid_w: int,
     tile_size: int,
+    chunk: int = CHUNK,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
-    # pad_tile_ranges guarantees starts are CHUNK-aligned; Mosaic needs the
+    # the layout guarantees starts are chunk-aligned; Mosaic needs the
     # hint to prove lane-dim DMA slice alignment.
-    start = pl.multiple_of(tile_start_ref[t], CHUNK)
+    start = pl.multiple_of(tile_start_ref[t], chunk)
     count = tile_count_ref[t]
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = pl.cdiv(count, chunk)
     pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
     # tile-centered pixel moment basis for the geometry-gradient contraction
     # (loop-invariant; see the moment matmul in the chunk body)
@@ -287,7 +288,7 @@ def _backward_kernel(
 
     def dma_in(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
             feat_s.at[slot],
             sem.at[slot],
         )
@@ -295,7 +296,7 @@ def _backward_kernel(
     def dma_out(slot, ci):
         return pltpu.make_async_copy(
             dfeat_s.at[slot],
-            dfeat_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            dfeat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
             outsem.at[slot],
         )
 
@@ -334,14 +335,14 @@ def _backward_kernel(
 
         alpha, (dx, dy, g, raw, keep) = _masked_alpha(f, pxc, pyc)
         in_range_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) < count - ci * CHUNK
+            jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) < count - ci * chunk
         )
         alpha = jnp.where(in_range_col, alpha, 0.0)
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
         p_incl = t_carry * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:CHUNK]
+        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
         w = jnp.where(counted, t_before * alpha, 0.0)
 
         raw_colors = _unpack_colors(f)  # [4, CHUNK]
@@ -457,7 +458,7 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - 2).wait()
 
-        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS_BUF, CHUNK), jnp.float32)
+        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS_BUF, chunk), jnp.float32)
         dma_out(oslot, ci).start()
         return ci + 1
 
@@ -530,7 +531,8 @@ def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
     )(tile_start, tile_count, feat_t)
 
 
-def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size):
+def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
+                   tile_size, chunk=CHUNK):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
 
@@ -541,7 +543,9 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
     )
     t_final = out[:, 4:5, :]
 
-    kernel = functools.partial(_backward_kernel, grid_w=grid_w, tile_size=tile_size)
+    kernel = functools.partial(
+        _backward_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk
+    )
     dfeat_t = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -558,8 +562,8 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS_IN, CHUNK), jnp.float32),
-                pltpu.VMEM((2, GRAD_ROWS_BUF, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT_ROWS_IN, chunk), jnp.float32),
+                pltpu.VMEM((2, GRAD_ROWS_BUF, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -580,11 +584,11 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, t
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _blend_gathered(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap, aligned,
+    grid_w, grid_h, tile_size, source_cap, layout_chunk,
 ):
     out, _ = _blend_gathered_fwd(
         packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-        grid_w, grid_h, tile_size, source_cap, aligned,
+        grid_w, grid_h, tile_size, source_cap, layout_chunk,
     )
     return out
 
@@ -602,21 +606,25 @@ def _gather_stream(packed16_t, g_pad, valid):
 
 def _blend_gathered_fwd(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap, aligned,
+    grid_w, grid_h, tile_size, source_cap, layout_chunk,
 ):
+    # layout_chunk == 1 is the compact (inference) layout: the forward
+    # kernel handles unaligned tile starts with half-size chunks (boundary
+    # waste per tile averages chunk/2 lanes, and the forward-only working
+    # set is small). layout_chunk > 1 is the training layout: tile starts
+    # are layout_chunk-aligned and the kernels stream exactly that chunk.
+    aligned = layout_chunk > 1
     tile_start, tile_count = tile_counts_pair
     feat_t = _gather_stream(packed16_t, g_pad, valid)
-    # unaligned (inference) runs half-size chunks: boundary waste per tile
-    # averages chunk/2 lanes, and the forward-only working set is small
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
-        aligned=aligned, chunk=CHUNK if aligned else CHUNK // 2,
+        aligned=aligned, chunk=layout_chunk if aligned else CHUNK // 2,
     )
     return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
 
 
-def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_out):
-    assert aligned, "gradients require the chunk-aligned layout"
+def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk, res, g_out):
+    assert layout_chunk > 1, "gradients require the chunk-aligned layout"
     """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
     per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
@@ -627,7 +635,8 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, aligned, res, g_o
 
     feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out = res
     dfeat_t = _backward_call(
-        feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size
+        feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size,
+        chunk=layout_chunk,
     )
     i_pad = slot_layout.shape[0]
     cols = sort_rows_to_slot_order(
@@ -667,7 +676,7 @@ def blend_pallas_fused(
         grid_h,
         tile_size,
         assignment.source_cap,
-        assignment.chunk > 1,  # compact (inference) layout -> unaligned fwd
+        assignment.chunk,  # 1 = compact (inference) layout -> unaligned fwd
     )
     ts = tile_size
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)

@@ -216,10 +216,16 @@ def rasterize(
 
             # inference: compact layout — the forward kernel DMAs from the
             # aligned window under each unaligned start and masks foreign
-            # lanes, so the chunk-aligned relayout scatter is skipped
+            # lanes, so the chunk-aligned relayout scatter is skipped.
+            # Training at 32px tiles halves the kernel chunk so the backward
+            # working set ([chunk, tile_pixels] arrays) stays inside VMEM.
+            if inference:
+                chunk_align = 1
+            else:
+                chunk_align = CHUNK if tile_size <= 16 else CHUNK // 2
             assignment = build_tile_assignment(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
-                chunk_align=1 if inference else CHUNK, need_grad=not inference,
+                chunk_align=chunk_align, need_grad=not inference,
             )
             image4, alpha = blend_pallas_fused(
                 pack_features_t(proj, with_depth),

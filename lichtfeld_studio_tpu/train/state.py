@@ -36,7 +36,7 @@ class TrainConfig:
     scale_reg: float = 0.01
     opacity_reg: float = 0.01
     raster_mode: str = "tiles"  # oracle | tiles | pallas
-    tile_size: int = 16
+    tile_size: int = 32  # 16 matches the reference; 32 is ~1.3x faster on TPU
     instance_cap: int = 2**20
     k_max: int = 1024
     projection: str = "auto"  # auto | ewa | ut (--gut forces "ut")
