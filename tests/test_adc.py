@@ -21,6 +21,11 @@ def _cfg(**kw):
     return TrainConfig(
         strategy="default",
         raster_mode="tiles",
+        # Pin the reference's 16px tiling: renders are bit-identical across
+        # tile sizes, but segmented reductions sum in a different order, and
+        # the ~1e-9 grad noise flips ADC's hard grow thresholds — this parity
+        # test wants the reference trajectory.
+        tile_size=16,
         instance_cap=4096,
         k_max=64,
         scale_reg=0.0,
@@ -117,7 +122,8 @@ def test_adc_training_smoke(rng):
         )
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    # growth events spike the loss; compare settled windows, not endpoints
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert int(state.splats.n_active) >= 32  # growth may trigger
     # densify stats accumulated and finite
     assert np.isfinite(np.asarray(state.densify_grad)).all()
