@@ -56,11 +56,11 @@ def main():
     from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
 
     W, H = 1296, 840
-    TS = 16
+    TS = int(os.environ.get("LFS_BENCH_TS", 32))
     GW, GH = -(-W // TS), -(-H // TS)
     CAP = 1_000_000
     N0 = 600_000
-    ICAP = 2_500_000
+    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_500_000))
     rng = np.random.default_rng(0)
     pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
     col = rng.uniform(0, 1, (N0, 3)).astype(np.float32)
@@ -90,7 +90,8 @@ def main():
     proj, t_proj = timeit(proj_f, splats, label="projection fwd (EWA + SH3)")
 
     bin_f = jax.jit(lambda p: build_tile_assignment(
-        p, grid_w=GW, grid_h=GH, instance_cap=ICAP, chunk_align=CHUNK))
+        p, grid_w=GW, grid_h=GH, instance_cap=ICAP,
+        chunk_align=CHUNK if TS <= 16 else CHUNK // 2))
     assign, t_bin = timeit(bin_f, proj, label="binning (train layout)")
     print(f"  n_instances = {int(assign.n_instances)}")
 
@@ -101,7 +102,7 @@ def main():
     _, t_blend = timeit(blend_f, proj, assign, label="pack + blend fwd")
 
     def fwd_loss(s):
-        out = rasterize(s, cam, bg, mode="pallas", instance_cap=ICAP)
+        out = rasterize(s, cam, bg, mode="pallas", instance_cap=ICAP, tile_size=TS)
         img = jnp.clip(out.image, 0.0, 1.0)
         l1 = jnp.mean(jnp.abs(img - gt))
         s_v = ssim(img, gt)
@@ -124,6 +125,7 @@ def main():
 
     cfg = TrainConfig(
         iterations=30_000, raster_mode="pallas", instance_cap=ICAP, k_max=1024,
+        tile_size=TS,
         mcmc=MCMCConfig(max_cap=CAP, start_refine=5, stop_refine=1000, refine_every=10),
         lr_gamma=0.01 ** (1.0 / 30_000),
     )
