@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     # viewer / render
     p.add_argument("-v", "--view", type=str, default="", help="render a PLY headlessly")
     p.add_argument("--render-output", type=str, default="render.png")
+    p.add_argument(
+        "--render-size", type=int, nargs=2, default=[1920, 1080],
+        metavar=("W", "H"), help="headless render resolution",
+    )
     p.add_argument("--viewer-max-points", type=int, default=1_000_000,
                    help="embed size cap for the HTML viewer export")
     # TPU-specific
@@ -264,7 +268,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from lichtfeld_studio_tpu.render.headless import render_ply_orbit
 
-            render_ply_orbit(params.ply_path, args.render_output)
+            render_ply_orbit(
+                params.ply_path, args.render_output,
+                width=args.render_size[0], height=args.render_size[1],
+            )
         return 0
 
     if not params.dataset.data_path:

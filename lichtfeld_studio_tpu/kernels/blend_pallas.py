@@ -96,23 +96,63 @@ def _pixel_centers(tile_idx, grid_w: int, tile_size: int, n_pix: int):
     return pxc, pyc  # [1, n_pix] each
 
 
-def _masked_alpha(feat_s, pxc, pyc):
-    """alpha [CHUNK, P] with the reference skip masks; also returns the
-    per-instance row validity pieces needed by backward."""
-    mx = feat_s[0, :][:, None]  # [CHUNK, 1]
-    my = feat_s[1, :][:, None]
-    ca = feat_s[2, :][:, None]
-    cb = feat_s[3, :][:, None]
-    cc = feat_s[4, :][:, None]
-    op = feat_s[5, :][:, None]
-    dx = mx - pxc  # [CHUNK, P]
-    dy = my - pyc
-    sigma2 = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    g = jnp.exp(-jnp.maximum(sigma2, 0.0))
-    raw = op * g
-    alpha = jnp.minimum(raw, MAX_FRAGMENT_ALPHA)
-    keep = (sigma2 >= 0.0) & (alpha >= MIN_ALPHA_THRESHOLD)
-    return jnp.where(keep, alpha, 0.0), (dx, dy, g, raw, keep)
+def _tile_basis(tile_idx, grid_w: int, tile_size: int, n_pix: int):
+    """Tile-centered quadratic pixel basis [1, px, py, px^2, px*py, py^2]
+    ([6, P]) plus the tile center (cx, cy). Shared by the MXU alpha
+    evaluation (both kernels) and the backward moment contraction —
+    TILE-CENTERED coords keep the quadratic-expansion cancellation benign."""
+    pxc, pyc = _pixel_centers(tile_idx, grid_w, tile_size, n_pix)
+    cx = ((tile_idx % grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
+    cy = ((tile_idx // grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
+    pxl = pxc - cx  # [1, P]
+    pyl = pyc - cy
+    basis = jnp.concatenate(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=0,
+    )  # [6, P]
+    return basis, cx, cy
+
+
+_LOG_MIN_ALPHA = math.log(MIN_ALPHA_THRESHOLD)  # = -log(255)
+_LOG_MAX_FRAGMENT = math.log(MAX_FRAGMENT_ALPHA)
+
+
+def _alpha_mxu(feat_s, basis, cx, cy, in_range):
+    """alpha [CHUNK, P] with the reference skip masks, evaluated as ONE MXU
+    contraction instead of ~10 VPU broadcast passes.
+
+    sigma2(px, py) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2 (dx = mx - px) is a
+    quadratic polynomial in tile-centered pixel coords, so sigma2 = Q . B with
+    per-instance coefficients Q[6, CHUNK] (VPU work on [CHUNK]-wide vectors
+    only) and the shared basis B[6, P]. log(opacity) is folded into the
+    constant term, making s = sigma2 - log(op) and alpha_raw = exp(-s); the
+    reference skip masks become threshold compares on s:
+      sigma2 >= 0            <=>  s >= -log(op)
+      alpha_raw >= 1/255     <=>  s <= log(255)
+      alpha_raw < 0.999      <=>  s > -log(0.999)   (backward clamp gate)
+    Returns (alpha, s, nlog_op_col) — backward recovers its masks from s."""
+    mxc = feat_s[0, :] - cx  # [CHUNK] tile-centered mean
+    myc = feat_s[1, :] - cy
+    ca = feat_s[2, :]
+    cb = feat_s[3, :]
+    cc = feat_s[4, :]
+    op = feat_s[5, :]
+    nlog_op = -jnp.log(jnp.maximum(op, 1e-12))  # >= 0
+    q0 = 0.5 * (ca * mxc * mxc + cc * myc * myc) + cb * mxc * myc + nlog_op
+    q1 = -(ca * mxc + cb * myc)
+    q2 = -(cc * myc + cb * mxc)
+    q = jnp.stack([q0, q1, q2, 0.5 * ca, cb, 0.5 * cc])  # [6, CHUNK]
+    s = jax.lax.dot_general(
+        q,
+        basis,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [CHUNK, P]
+    nlog_op_col = nlog_op[:, None]
+    alpha = jnp.minimum(jnp.exp(-s), MAX_FRAGMENT_ALPHA)
+    keep = (s >= nlog_op_col) & (s <= -_LOG_MIN_ALPHA) & in_range
+    return jnp.where(keep, alpha, 0.0), s, nlog_op_col
 
 
 def _prefix_sum_rows(x):
@@ -173,7 +213,7 @@ def _forward_kernel(
         base = pl.multiple_of(start - off, chunk)
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
-    pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
+    basis, cx, cy = _tile_basis(t, grid_w, tile_size, n_pix)
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -201,14 +241,13 @@ def _forward_kernel(
         dma(slot, ci).wait()
         f = feat_s[slot]  # [8, CHUNK]
 
-        alpha, _ = _masked_alpha(f, pxc, pyc)  # [CHUNK, P]
         lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         if aligned:
             in_range = lane < count - ci * chunk
         else:
             gi = ci * chunk + lane
             in_range = (gi >= off) & (gi < end_rel)
-        alpha = jnp.where(in_range, alpha, 0.0)
+        alpha, _, _ = _alpha_mxu(f, basis, cx, cy, in_range)  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
         p_incl = t_carry * prod_incl
@@ -256,31 +295,42 @@ def _backward_kernel(
     dfeat_hbm,  # out [GRAD_ROWS, I+pad] ANY (bf16 pairs)
     feat_s,  # scratch [2, 8, CHUNK]
     dfeat_s,  # scratch [2, GRAD_ROWS, CHUNK] (double-buffered writeback)
+    head_s,  # scratch [GRAD_ROWS, CHUNK] — boundary-chunk merge (unaligned)
     sem,  # (2,) DMA semaphores
     outsem,  # (2,) DMA semaphores for writeback
+    headsem,  # DMA semaphore for the boundary read
     *,
     grid_w: int,
     tile_size: int,
+    aligned: bool,
     chunk: int = CHUNK,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
-    # the layout guarantees starts are chunk-aligned; Mosaic needs the
-    # hint to prove lane-dim DMA slice alignment.
-    start = pl.multiple_of(tile_start_ref[t], chunk)
     count = tile_count_ref[t]
-    n_chunks = pl.cdiv(count, chunk)
-    pxc, pyc = _pixel_centers(t, grid_w, tile_size, n_pix)
-    # tile-centered pixel moment basis for the geometry-gradient contraction
-    # (loop-invariant; see the moment matmul in the chunk body)
-    cx = ((t % grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
-    cy = ((t // grid_w) * tile_size).astype(jnp.float32) + 0.5 * tile_size
-    pxl = pxc - cx  # [1, P]
-    pyl = pyc - cy
-    basis = jnp.concatenate(
-        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
-        axis=0,
-    )  # [6, P]
+    if aligned:
+        # the aligned layout guarantees chunk-multiple starts; Mosaic needs
+        # the hint to prove lane-dim DMA slice alignment.
+        start = pl.multiple_of(tile_start_ref[t], chunk)
+        off = 0
+        base = start
+    else:
+        # COMPACT layout (no relayout): tile ranges start anywhere. Stream
+        # whole aligned chunks covering [start, start+count); foreign lanes
+        # compute zero gradients (alpha in_range-masked). Boundary handling:
+        # grid programs run SEQUENTIALLY on the TPU core and each program
+        # drains its writeback DMAs before ending, so the FIRST chunk is
+        # read-merged with the previous tile's already-written values
+        # (foreign head lanes preserved), while our trailing foreign lanes
+        # are zeros that the NEXT program's head-merge overwrites in turn.
+        start = tile_start_ref[t]
+        off = jax.lax.rem(start, chunk)
+        base = pl.multiple_of(start - off, chunk)
+    end_rel = off + count
+    n_chunks = pl.cdiv(end_rel, chunk)
+    # tile-centered pixel moment basis: shared by the MXU alpha evaluation
+    # and the geometry-gradient moment contraction (loop-invariant)
+    basis, cx, cy = _tile_basis(t, grid_w, tile_size, n_pix)
 
     g_img = gout_ref[0, 0:4, :]  # [4, P]
     g_tfin = gout_ref[0, 4, :][None, :]  # [1, P]
@@ -288,7 +338,7 @@ def _backward_kernel(
 
     def dma_in(slot, ci):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            feat_hbm.at[:, pl.ds(base + ci * chunk, chunk)],
             feat_s.at[slot],
             sem.at[slot],
         )
@@ -296,13 +346,20 @@ def _backward_kernel(
     def dma_out(slot, ci):
         return pltpu.make_async_copy(
             dfeat_s.at[slot],
-            dfeat_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+            dfeat_hbm.at[:, pl.ds(base + ci * chunk, chunk)],
             outsem.at[slot],
+        )
+
+    def dma_head_read():
+        return pltpu.make_async_copy(
+            dfeat_hbm.at[:, pl.ds(base, chunk)], head_s, headsem
         )
 
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
+        if not aligned:
+            dma_head_read().start()
 
     # CG_final[p] = sum_j w_j * (c_j . g[:,p]) — computed incrementally:
     # r_i = CG_final - cumsum_incl(w * cg) is the "remainder color dot grad".
@@ -333,11 +390,13 @@ def _backward_kernel(
         dma_in(slot, ci).wait()
         f = feat_s[slot]
 
-        alpha, (dx, dy, g, raw, keep) = _masked_alpha(f, pxc, pyc)
-        in_range_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) < count - ci * chunk
-        )
-        alpha = jnp.where(in_range_col, alpha, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        if aligned:
+            in_range_col = lane < count - ci * chunk
+        else:
+            gi = ci * chunk + lane
+            in_range_col = (gi >= off) & (gi < end_rel)
+        alpha, s, nlog_op_col = _alpha_mxu(f, basis, cx, cy, in_range_col)
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
         p_incl = t_carry * prod_incl
@@ -375,8 +434,10 @@ def _backward_kernel(
             0.0,
         )  # [CHUNK, P]; T_final = prod(1-a): dT/da_i = -T/(1-a_i)
 
-        # chain into geometry (zero where clamped at 0.999 or skipped)
-        live = keep & (raw < MAX_FRAGMENT_ALPHA) & counted & in_range_col
+        # chain into geometry (zero where clamped at 0.999 or skipped);
+        # alpha > 0 already folds the keep/in_range masks, and
+        # s > -log(0.999) <=> alpha_raw < 0.999 (the clamp gate)
+        live = (alpha > 0.0) & (s > -_LOG_MAX_FRAGMENT) & counted
         dalpha = jnp.where(live, dalpha, 0.0)
         u = dalpha * (-alpha)  # d(loss)/d(sigma2) per pixel (pre-clamp alpha)
 
@@ -429,6 +490,21 @@ def _backward_kernel(
         dfeat_s[oslot, 0:6, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op])
         dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
         dfeat_s[oslot, 7, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+        if not aligned:
+            # head-boundary merge: lanes before `off` hold the PREVIOUS
+            # tile's gradients (written by the previous grid program, whose
+            # writebacks drained before this program started) — preserve
+            # them. Our own foreign-lane gradients are zero by construction,
+            # so the next tile symmetrically overwrites our trailing zeros.
+            @pl.when(ci == 0)
+            def _():
+                dma_head_read().wait()
+                lane_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (GRAD_ROWS_BUF, chunk), 1
+                )
+                dfeat_s[oslot] = jnp.where(
+                    lane_row >= off, dfeat_s[oslot], head_s[...]
+                )
         dma_out(oslot, ci).start()
 
         t_new = jnp.min(
@@ -532,7 +608,7 @@ def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
 
 
 def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
-                   tile_size, chunk=CHUNK):
+                   tile_size, aligned=True, chunk=CHUNK):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
 
@@ -544,7 +620,8 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     t_final = out[:, 4:5, :]
 
     kernel = functools.partial(
-        _backward_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk
+        _backward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
+        chunk=chunk,
     )
     dfeat_t = pl.pallas_call(
         kernel,
@@ -564,8 +641,10 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT_ROWS_IN, chunk), jnp.float32),
                 pltpu.VMEM((2, GRAD_ROWS_BUF, chunk), jnp.float32),
+                pltpu.VMEM((GRAD_ROWS_BUF, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((GRAD_ROWS_BUF, feat_t.shape[1]), jnp.float32),
@@ -624,19 +703,23 @@ def _blend_gathered_fwd(
 
 
 def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk, res, g_out):
-    assert layout_chunk > 1, "gradients require the chunk-aligned layout"
     """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
     per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
     (scatter-free; see ops.tiles.sort_rows_to_slot_order for the cost
-    analysis). The bf16 color quantizer is straight-through."""
+    analysis). The bf16 color quantizer is straight-through.
+
+    layout_chunk == 1 (compact layout) replays with the unaligned-start
+    kernel variant, whose sequential boundary-chunk read-merge-write makes
+    the chunk-aligned relayout unnecessary for training too."""
     from lichtfeld_studio_tpu.kernels.segment_reduce import grad_segment_reduce_packed
     from lichtfeld_studio_tpu.ops.tiles import sort_rows_to_slot_order
 
     feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out = res
+    aligned = layout_chunk > 1
     dfeat_t = _backward_call(
         feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size,
-        chunk=layout_chunk,
+        aligned=aligned, chunk=layout_chunk if aligned else CHUNK // 2,
     )
     i_pad = slot_layout.shape[0]
     cols = sort_rows_to_slot_order(

@@ -150,6 +150,9 @@ def rasterize(
             height=height,
             tile_size=tile_size,
             antialiasing=antialiasing,
+            # coarser tiles -> tiny bboxes; a 16-cell exact test keeps the
+            # pruning (covers 4x4-tile footprints) at half the [C, K] cost
+            exact_tile_cap=32 if tile_size < 32 else 16,
         )
     if mean2d_offset is not None:
         import dataclasses
@@ -212,20 +215,17 @@ def rasterize(
     elif mode in ("tiles", "pallas"):
         n_ch = 4 if with_depth else 3
         if mode == "pallas":
-            from lichtfeld_studio_tpu.kernels.blend_pallas import CHUNK, blend_pallas_fused
+            from lichtfeld_studio_tpu.kernels.blend_pallas import blend_pallas_fused
 
-            # inference: compact layout — the forward kernel DMAs from the
-            # aligned window under each unaligned start and masks foreign
-            # lanes, so the chunk-aligned relayout scatter is skipped.
-            # Training at 32px tiles halves the kernel chunk so the backward
-            # working set ([chunk, tile_pixels] arrays) stays inside VMEM.
-            if inference:
-                chunk_align = 1
-            else:
-                chunk_align = CHUNK if tile_size <= 16 else CHUNK // 2
+            # compact layout for BOTH training and inference: the forward
+            # kernel DMAs from the aligned window under each unaligned start
+            # and masks foreign lanes; the backward kernel preserves foreign
+            # boundary lanes with a sequential read-merge-write. The
+            # chunk-aligned relayout (a position computation + a second
+            # full-capacity sort + ~9% buffer slack) is skipped entirely.
             assignment = build_tile_assignment(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
-                chunk_align=chunk_align, need_grad=not inference,
+                chunk_align=1, need_grad=not inference,
             )
             image4, alpha = blend_pallas_fused(
                 pack_features_t(proj, with_depth),

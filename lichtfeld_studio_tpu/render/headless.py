@@ -40,7 +40,11 @@ def render_view(
         instance_cap=instance_cap,
         inference=True,
     )
-    return np.clip(np.asarray(out.image), 0.0, 1.0)
+    # Quantize to u8 ON DEVICE: the headless consumer is an 8-bit image
+    # file, and remote-TPU links make f32 framebuffer downloads the
+    # bottleneck (a 1080p f32 frame is 24 MB; u8 is 6).
+    img_u8 = jnp.clip(out.image * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return np.asarray(img_u8).astype(np.float32) / 255.0
 
 
 def splats_from_ply(path: str | Path, capacity: int | None = None) -> SplatData:

@@ -71,6 +71,33 @@ def test_pallas_gradients_match_oracle(rng):
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-5, err_msg=k)
 
 
+def test_pallas_gradients_deep_unaligned(rng):
+    """Multi-chunk backward over the COMPACT (unaligned-start) layout:
+    deep tiles force several streamed chunks per tile plus early-termination
+    zero-fill, and adjacent tiles share boundary chunks, so this exercises
+    the sequential read-merge-write boundary handling in the replay kernel
+    (kernels/blend_pallas.py::_backward_kernel, aligned=False)."""
+    cam = make_camera(64, 32)
+    n = 400  # > chunk instances landing on a handful of tiles
+    splats = make_random_splats(rng, n=n, spread=0.5, opacity_range=(0.6, 0.95))
+    bg = jnp.zeros(3)
+    target = jnp.asarray(rng.uniform(0, 1, (32, 64, 3)).astype(np.float32))
+
+    def loss(params, mode):
+        s = splats.replace_trainable(params)
+        out = rasterize(s, cam.device_params(), bg, mode=mode,
+                        instance_cap=8192, k_max=512)
+        return jnp.mean((out.image - target) ** 2)
+
+    p = splats.trainable_dict()
+    g_o = jax.grad(lambda q: loss(q, "oracle"))(p)
+    g_p = jax.grad(lambda q: loss(q, "pallas"))(p)
+    for k in p:
+        a, b = np.asarray(g_p[k]), np.asarray(g_o[k])
+        assert np.isfinite(a).all(), k
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=3e-5, err_msg=k)
+
+
 def test_pallas_depth_mode(rng):
     cam = make_camera(32, 32)
     splats = make_random_splats(rng, n=24)

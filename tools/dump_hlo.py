@@ -30,7 +30,8 @@ def main():
     W, H = 1296, 840
     CAP = 1_000_000
     N0 = 600_000
-    ICAP = 2_500_000
+    ICAP = int(os.environ.get('LFS_BENCH_ICAP', 1_500_000))
+    TS = int(os.environ.get('LFS_BENCH_TS', 32))
     rng = np.random.default_rng(0)
     splats = SplatData(
         means=jnp.zeros((CAP, 3)),
@@ -52,15 +53,26 @@ def main():
     bg = jnp.zeros(3)
 
     cfg = TrainConfig(
-        iterations=30_000, raster_mode="pallas", instance_cap=ICAP, k_max=1024,
+        iterations=30_000, raster_mode="pallas", instance_cap=ICAP, k_max=1024, tile_size=TS,
         mcmc=MCMCConfig(max_cap=CAP, start_refine=5, stop_refine=1000, refine_every=10),
         lr_gamma=0.01 ** (1.0 / 30_000),
     )
     lrs = make_lrs(1.6e-5, 2.5e-3, 5e-3, 1e-3, 0.05, splats.scene_scale)
     state = init_train_state(splats, lrs, seed=0)
 
-    f = jax.jit(lambda st: train_step(st, cam, gt, bg, cfg, StepFlags()))
-    compiled = f.lower(state).compile()
+    from lichtfeld_studio_tpu.core.camera import CameraParams
+    from lichtfeld_studio_tpu.train.state import train_steps_scanned
+    K_SCAN = 10
+    stacked_cam = CameraParams(
+        w2c=jnp.tile(cam.w2c[None], (K_SCAN, 1, 1)),
+        cam_position=jnp.tile(cam.cam_position[None], (K_SCAN, 1)),
+        K=jnp.tile(cam.K[None], (K_SCAN, 1)),
+        uid=jnp.zeros((K_SCAN,), jnp.int32),
+        width=W, height=H,
+    )
+    gts = jnp.tile(gt[None], (K_SCAN, 1, 1, 1))
+    f = jax.jit(train_steps_scanned, static_argnums=(4, 5))
+    compiled = f.lower(state, stacked_cam, gts, bg, cfg, StepFlags()).compile()
     txt = compiled.as_text()
     Path("/tmp/step_hlo.txt").write_text(txt)
     print(f"HLO written to /tmp/step_hlo.txt ({len(txt)} chars)")

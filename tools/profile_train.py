@@ -90,8 +90,7 @@ def main():
     proj, t_proj = timeit(proj_f, splats, label="projection fwd (EWA + SH3)")
 
     bin_f = jax.jit(lambda p: build_tile_assignment(
-        p, grid_w=GW, grid_h=GH, instance_cap=ICAP,
-        chunk_align=CHUNK if TS <= 16 else CHUNK // 2))
+        p, grid_w=GW, grid_h=GH, instance_cap=ICAP, chunk_align=1))
     assign, t_bin = timeit(bin_f, proj, label="binning (train layout)")
     print(f"  n_instances = {int(assign.n_instances)}")
 

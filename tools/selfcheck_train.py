@@ -3,6 +3,7 @@ dataset on disk, train from random init with MCMC via the real Trainer/CLI
 path, and verify PSNR improves. Writes artifacts to /tmp/lfs_selfcheck."""
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,13 +66,22 @@ def main():
     fov_x = 2.0 * np.arctan(W / (2 * 450.0))
     (scene / "transforms.json").write_text(json.dumps({"camera_angle_x": fov_x, "frames": frames}))
     print("dataset written", flush=True)
+    if os.environ.get("LFS_SELFCHECK_SCENE_ONLY"):
+        return
 
+    # LFS_SELFCHECK_ITERS=30000 runs the full-length protocol (the 30k
+    # multi-view quality run whose final PSNR/SSIM is published in README);
+    # the default 2000 is the fast regression gate.
+    iters = int(os.environ.get("LFS_SELFCHECK_ITERS", 2000))
+    evals = [str(max(iters // 4, 1)), str(iters)]
+    stop_refine = int(iters * 0.9)
     params = parse_args_and_params([
         "-d", str(scene), "-o", str(root / "out"), "--headless", "--eval",
-        "--test-every", "8", "--iterations", "2000",
-        "--eval-steps", "500", "2000", "--save-steps", "2000",
+        "--test-every", "8", "--iterations", str(iters),
+        "--eval-steps", *evals, "--save-steps", str(iters),
         "--max-cap", "200000", "--instance-cap", str(2**21),
-        "--start-refine", "300", "--stop-refine", "1800", "--refine-every", "100",
+        "--start-refine", "300", "--stop-refine", str(stop_refine),
+        "--refine-every", "100",
         "--sh-degree", "3", "--random",
         "--init-num-pts", "20000",
     ])
