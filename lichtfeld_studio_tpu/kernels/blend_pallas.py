@@ -117,7 +117,33 @@ _LOG_MIN_ALPHA = math.log(MIN_ALPHA_THRESHOLD)  # = -log(255)
 _LOG_MAX_FRAGMENT = math.log(MAX_FRAGMENT_ALPHA)
 
 
-def _alpha_mxu(feat_s, basis, cx, cy, in_range):
+def _bf16_split(x):
+    """x == hi + lo with hi exactly bf16-representable (truncation) and
+    |lo| <= 2^-8 |x|; together they carry ~16 mantissa bits through a
+    bf16 matmul pass."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(b & ~0xFFFF, jnp.float32)
+    return hi, x - hi
+
+
+def _dot3(a, b, dims):
+    """~16-mantissa-bit dot as THREE single-pass bf16 MXU matmuls (manual
+    bfloat16_3x — Mosaic rejects Precision.HIGH, and HIGHEST costs six
+    passes): (a_hi+a_lo)@(b_hi+b_lo) dropping the a_lo@b_lo term (~2^-16
+    relative to TERM magnitudes). The sigma2 quadratic expansion cancels
+    ~30-150x (|q0| ~ conic * tile_radius^2 vs |s| ~ log 255), so the split
+    lands at |ds| ~ 1e-3 worst case — fine for the gradient replay (below
+    gradient noise), NOT fine for the forward image, which stays HIGHEST."""
+    ahi, alo = _bf16_split(a)
+    bhi, blo = _bf16_split(b)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return dot(ahi, bhi) + (dot(ahi, blo) + dot(alo, bhi))
+
+
+def _alpha_mxu(feat_s, basis, cx, cy, in_range, exact=True):
     """alpha [CHUNK, P] with the reference skip masks, evaluated as ONE MXU
     contraction instead of ~10 VPU broadcast passes.
 
@@ -142,13 +168,19 @@ def _alpha_mxu(feat_s, basis, cx, cy, in_range):
     q1 = -(ca * mxc + cb * myc)
     q2 = -(cc * myc + cb * mxc)
     q = jnp.stack([q0, q1, q2, 0.5 * ca, cb, 0.5 * cc])  # [6, CHUNK]
-    s = jax.lax.dot_general(
-        q,
-        basis,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [CHUNK, P]
+    dims = (((0,), (0,)), ((), ()))
+    if exact:
+        # forward/image path: 6-pass f32-faithful (the expansion cancels
+        # ~30-150x, see _dot3's docstring)
+        s = jax.lax.dot_general(
+            q, basis, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [CHUNK, P]
+    else:
+        # gradient replay: 3-pass split, |ds| ~ 1e-3 worst case (below
+        # gradient noise; mask flips only at negligible-weight boundaries)
+        s = _dot3(q, basis, dims)  # [CHUNK, P]
     nlog_op_col = nlog_op[:, None]
     alpha = jnp.minimum(jnp.exp(-s), MAX_FRAGMENT_ALPHA)
     keep = (s >= nlog_op_col) & (s <= -_LOG_MIN_ALPHA) & in_range
@@ -257,13 +289,15 @@ def _forward_kernel(
         w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
-        acc = acc + jax.lax.dot_general(
-            colors,
-            w,
+        # colors are exactly bf16 by construction, so splitting only w gives
+        # an f32-faithful image in TWO single-pass matmuls (vs 6 at HIGHEST)
+        w_hi, w_lo = _bf16_split(w)
+        dotc = functools.partial(
+            jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [4, P]
+        )
+        acc = acc + dotc(colors, w_hi) + dotc(colors, w_lo)  # [4, P]
 
         t_new = jnp.min(
             jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
@@ -373,7 +407,11 @@ def _backward_kernel(
     # r_i = (A_total - A_i) where A_total = CG_final reconstructed from the
     # *forward output cotangent contraction*: the caller passes
     # sum_ch C_final[ch,p] g[ch,p] precomputed in gout row 5.
-    cg_final = gout_ref[0, 5, :][None, :]  # [1, P]
+    # dalpha folds its two divisions into one: the T_final cotangent term
+    # g_tfin * T_final / (1-a) rides the same 1/(1-a) as the remainder, so
+    # r0 = CG_final + g_tfin * T_final is precomputed ONCE (loop-invariant)
+    # and dalpha = t_before*cg - (r0 - A_i) / (1-a).
+    r0 = gout_ref[0, 5, :][None, :] + g_tfin * t_final  # [1, P]
 
     def cond(carry):
         ci, t_carry, _ = carry
@@ -396,6 +434,9 @@ def _backward_kernel(
         else:
             gi = ci * chunk + lane
             in_range_col = (gi >= off) & (gi < end_rel)
+        # exact (HIGHEST) alpha: the [6, CHUNK] contraction is tiny, so the
+        # 6-pass precision is ~free here (measured), and it keeps the replay
+        # masks bit-identical with the forward pass
         alpha, s, nlog_op_col = _alpha_mxu(f, basis, cx, cy, in_range_col)
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
@@ -407,11 +448,15 @@ def _backward_kernel(
         raw_colors = _unpack_colors(f)  # [4, CHUNK]
         colors = jnp.maximum(raw_colors, 0.0)
 
-        # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p]
+        # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p].
+        # DEFAULT (single-pass bf16) precision on the two color-cotangent
+        # matmuls: colors already enter as bf16 and dcolor is STORED as bf16
+        # pairs, so the 2^-8 relative input rounding adds no new error class
+        # (gradient-noise dominated); HIGHEST would stream the big [CHUNK,P]
+        # operand six times.
         dcolor = jax.lax.dot_general(
             g_img, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # [4, CHUNK]
         # clamp max(c,0): zero grad where c < 0
         dcolor = jnp.where(raw_colors > 0.0, dcolor, 0.0)
@@ -420,26 +465,23 @@ def _backward_kernel(
         cg = jax.lax.dot_general(
             colors, g_img, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # [CHUNK, P]
 
         wcg = w * cg
         a_incl = a_run + _prefix_sum_rows(wcg)  # [CHUNK, P] inclusive A_i
-        remainder = cg_final - a_incl  # sum_{j>i} w_j cg_j
 
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        dalpha = jnp.where(
-            counted,
-            t_before * cg - remainder / one_m - g_tfin * t_final / one_m,
-            0.0,
-        )  # [CHUNK, P]; T_final = prod(1-a): dT/da_i = -T/(1-a_i)
+        # dalpha only feeds gradients where `live` (below) — rows outside
+        # `counted` may hold garbage here, the select after zeroes them.
+        # T_final = prod(1-a): dT/da_i = -T/(1-a_i), folded into r0.
+        # No epsilon guard: alpha is clamped at MAX_FRAGMENT_ALPHA=0.999
+        # (or masked to 0), so 1-alpha >= 1e-3 always.
+        dalpha = t_before * cg - (r0 - a_incl) / (1.0 - alpha)  # [CHUNK, P]
 
         # chain into geometry (zero where clamped at 0.999 or skipped);
         # alpha > 0 already folds the keep/in_range masks, and
         # s > -log(0.999) <=> alpha_raw < 0.999 (the clamp gate)
         live = (alpha > 0.0) & (s > -_LOG_MAX_FRAGMENT) & counted
-        dalpha = jnp.where(live, dalpha, 0.0)
-        u = dalpha * (-alpha)  # d(loss)/d(sigma2) per pixel (pre-clamp alpha)
+        u = jnp.where(live, dalpha, 0.0) * (-alpha)  # d(loss)/d(sigma2)
 
         # --- geometry gradients via ONE moment matmul ---------------------
         # dx = mx - px is separable, so every per-pixel reduction
@@ -453,11 +495,14 @@ def _backward_kernel(
         # sum_p dalpha * g = -(sum_p u) / op = -S0 / op.
         # [6, CHUNK] orientation: instances stay on the LANE axis so the
         # row extracts below are plain sublane reads (no relayout)
-        mom = jax.lax.dot_general(
-            basis, u, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [6, CHUNK]
+        # 3-pass bf16 split (~16 mantissa bits): this contraction runs over
+        # P=1024 so precision passes multiply REAL work (the single hot
+        # matmul of the replay, measured ~6 ms/step at HIGHEST). The
+        # d_ca/d_cb/d_cc recombination cancels ~tile_r^2, amplifying the
+        # 2^-16 split error to ~2^-9 worst-case on conic grads — validated
+        # against the selfcheck PSNR/SSIM trajectory (geometry-grad
+        # precision is the known 0.3 dB hazard at the 2^-8 level).
+        mom = _dot3(basis, u, (((1,), (1,)), ((), ())))  # [6, CHUNK]
         s0 = mom[0, :]
         sx = mom[1, :]
         sy = mom[2, :]
@@ -512,7 +557,8 @@ def _backward_kernel(
             axis=0,
             keepdims=True,
         )
-        a_new = a_run + jnp.sum(wcg, axis=0, keepdims=True)
+        # the inclusive prefix's last row IS a_run + sum(wcg) — no extra reduce
+        a_new = a_incl[chunk - 1 : chunk, :]
         return ci + 1, t_new, a_new
 
     ci_end, _, _ = jax.lax.while_loop(

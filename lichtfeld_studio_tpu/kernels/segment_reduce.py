@@ -7,8 +7,8 @@ segment_sum_by_prefix) for wide rows: on v5e a [1M,10] boundary gather from
 a [2.5M,10] prefix table costs ~27 ms (row widths > 8 fall off the fast
 gather path) plus ~6 ms of cumsum, where this kernel runs ~12 ms total.
 
-The kernel streams the rows once and reduces each 512-gaussian output block
-with an interval-membership matrix contracted on the MXU:
+The kernel streams the rows once and reduces each BLOCK_N-gaussian output
+block with an interval-membership matrix contracted on the MXU:
 
     m[n, j] = (slot_j >= off[n]) & (slot_j < off[n+1])   in {0.0, 1.0}
     out[n, :] = m[n, j] @ rows[:, j]^T
@@ -18,6 +18,17 @@ whole reduction is compares + one [BN,IN]x[IN,C] matmul per streamed chunk
 — no gather, no scatter, no sort. Reference semantics: the warp-atomic
 per-gaussian gradient accumulation of fastgs kernels_backward.cuh,
 re-derived for a systolic/vector machine.
+
+Overhead design (the first cut of this kernel was grid-latency bound, not
+compute bound — ~2000 programs each opening with a BLOCKING offsets DMA):
+* per-block offsets are double-buffered ACROSS grid programs (grid programs
+  run sequentially on the core; scratch persists), so program k's offsets
+  were already in flight while program k-1 computed;
+* the F gradient columns arrive as ONE stacked [F, cap] array — a single
+  [F, IN] DMA per streamed chunk instead of F scalar-row DMAs;
+* the membership matrix is materialized in bf16 ({0,1} exact) and the
+  matmul runs as a 2-pass hi/lo split of the rows (f32-faithful final
+  gradients at a third of HIGHEST's six passes).
 
 `unpack_pairs=True` consumes the blend backward's native 8-row stream
 (6 f32 geometry rows + 2 bf16-pair color words, kernels/blend_pallas.py)
@@ -35,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_N = 512  # gaussians per output block
+BLOCK_N = 1024  # gaussians per output block
 IN_CHUNK = 1024  # slots streamed per inner step
 OFF_PAD = IN_CHUNK + BLOCK_N + 128  # slack past the last off entry
 
@@ -52,62 +63,76 @@ def _unpack_pair_rows(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+def _bf16_split_rows(x):
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(b & ~0xFFFF, jnp.float32)
+    return hi, x - hi
+
+
 def _segment_reduce_kernel(
     off_hbm,  # [1, NB*BN + OFF_PAD] int32 ANY — segment offsets (clipped)
-    *refs,  # F col refs ([cap_pad] f32 ANY, slot-ordered), then out + scratch
+    cols_hbm,  # [F, cap_pad] f32 ANY — slot-ordered gradient rows
+    out_ref,  # out block VMEM
+    off_v,  # scratch [2, 1, BN+128] int32 — double-buffered across programs
+    col_s,  # scratch [2, F, IN] f32
+    osem,  # (2,) DMA semaphores (offsets)
+    sem,  # (2,) DMA semaphores (columns)
+    *,
     n_feat: int,
     out_cols: int,
+    n_blocks: int,
     unpack_pairs: bool,
     feature_major_out: bool,
 ):
-    cols_hbm = refs[:n_feat]
-    out_ref, off_v = refs[n_feat : n_feat + 2]
-    col_s = refs[n_feat + 2 : 2 * n_feat + 2]  # F x [2, IN] VMEM scratch
-    osem, sem = refs[2 * n_feat + 2 :]
     k = pl.program_id(0)
-    ocopy = pltpu.make_async_copy(
-        off_hbm.at[:, pl.ds(k * BLOCK_N, BLOCK_N + 128)], off_v, osem
-    )
-    ocopy.start()
-    ocopy.wait()
-    off_lo = off_v[0, 0]
-    off_end = off_v[0, BLOCK_N]
+
+    def off_dma(slot, kk):
+        return pltpu.make_async_copy(
+            off_hbm.at[:, pl.ds(kk * BLOCK_N, BLOCK_N + 128)],
+            off_v.at[slot],
+            osem.at[slot],
+        )
+
+    # cross-program pipeline: program 0 kicks off its own copy; everyone
+    # prefetches the NEXT block's offsets before doing any work, then waits
+    # on its own (already long in flight for k > 0)
+    @pl.when(k == 0)
+    def _():
+        off_dma(0, 0).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        off_dma((k + 1) % 2, k + 1).start()
+
+    off_dma(k % 2, k).wait()
+    off_lo = off_v[k % 2, 0, 0]
+    off_end = off_v[k % 2, 0, BLOCK_N]
     base = pl.multiple_of((off_lo // IN_CHUNK) * IN_CHUNK, IN_CHUNK)
     n_chunks = pl.cdiv(off_end - base, IN_CHUNK)
 
     # off boundaries as a column for the membership compares: m[n, j]
-    offs = off_v[0, :][:, None]  # [BN+128, 1]
+    offs = off_v[k % 2, 0, :][:, None]  # [BN+128, 1]
 
-    def dmas(slot, t):
-        # col_s buffers are flat [2*IN]; slot slices are IN-multiples, which
-        # keeps both the DMA target and the vector reads lane-tile aligned
-        return [
-            pltpu.make_async_copy(
-                cols_hbm[kk].at[pl.ds(base + t * IN_CHUNK, IN_CHUNK)],
-                col_s[kk].at[pl.ds(slot * IN_CHUNK, IN_CHUNK)],
-                sem.at[slot, kk],
-            )
-            for kk in range(n_feat)
-        ]
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(base + t * IN_CHUNK, IN_CHUNK)],
+            col_s.at[slot],
+            sem.at[slot],
+        )
 
     @pl.when(n_chunks > 0)
     def _():
-        for c in dmas(0, 0):
-            c.start()
+        dma(0, 0).start()
 
     def body(t, acc):
         slot = t % 2
 
         @pl.when(t + 1 < n_chunks)
         def _():
-            for c in dmas((t + 1) % 2, t + 1):
-                c.start()
+            dma((t + 1) % 2, t + 1).start()
 
-        for c in dmas(slot, t):
-            c.wait()
-        rows = jnp.stack(
-            [col_s[kk][pl.ds(slot * IN_CHUNK, IN_CHUNK)] for kk in range(n_feat)]
-        )  # [F, IN]
+        dma(slot, t).wait()
+        rows = col_s[slot]  # [F, IN]
         if unpack_pairs:
             # blend backward stream -> pack_features 16-col layout
             r, g = _unpack_pair_rows(rows[6, :])
@@ -125,24 +150,27 @@ def _segment_reduce_kernel(
         slot_ids = base + t * IN_CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, (1, IN_CHUNK), 1
         )  # [1, IN]
-        ge = (slot_ids >= offs).astype(jnp.float32)  # [BN+128, IN], monotone in n
-        m = ge[:BLOCK_N, :] - ge[1 : BLOCK_N + 1, :]  # interval membership {0,1}
+        ge = (slot_ids >= offs).astype(jnp.bfloat16)  # [BN+128, IN], monotone
+        # interval membership {0,1} — EXACT in bf16, so a 2-pass hi/lo split
+        # of the f32 rows yields f32-faithful gradient sums (vs 6-pass
+        # HIGHEST); these are the FINAL per-gaussian gradients, where bf16
+        # rounding is the known 0.3 dB hazard.
+        m = ge[:BLOCK_N, :] - ge[1 : BLOCK_N + 1, :]
+        r_hi, r_lo = _bf16_split_rows(rows_v)
         if feature_major_out:
-            upd = jax.lax.dot_general(
-                rows_v,
-                m,
+            dot = functools.partial(
+                jax.lax.dot_general,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [C, BN]
+            )
+            upd = dot(r_hi, m) + dot(r_lo, m)  # [C, BN]
         else:
-            upd = jax.lax.dot_general(
-                m,
-                rows_v,
+            dot = functools.partial(
+                jax.lax.dot_general,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [BN, C]
+            )
+            upd = dot(m, r_hi) + dot(m, r_lo)  # [BN, C]
         return acc + upd
 
     acc_shape = (
@@ -171,12 +199,15 @@ def _segment_reduce_call(
     off_pad = jnp.full((nb * BLOCK_N + OFF_PAD,), source_cap, jnp.int32)
     off_pad = jax.lax.dynamic_update_slice(off_pad, off, (0,))[None, :]
 
-    # chunk DMAs read [base, base + k*IN_CHUNK) with base <= off <= cap and
-    # end < cap + 2*IN_CHUNK — pad each column if it is too short (only ever
-    # triggers for tiny test grids; production layouts carry ample slack)
+    # one stacked [F, cap_pad] array -> ONE DMA per streamed chunk. chunk
+    # DMAs read [base, base + k*IN_CHUNK) with base <= off <= cap and
+    # end < cap + 2*IN_CHUNK.
     need = source_cap + 2 * IN_CHUNK
-    if cols[0].shape[0] < need:
-        cols = [jnp.pad(c, (0, need - c.shape[0])) for c in cols]
+    width = max(need, cols[0].shape[0])
+    stacked = jnp.stack(
+        [jnp.pad(c, (0, width - c.shape[0])) if c.shape[0] < width else c
+         for c in cols]
+    )  # [F, width]
 
     if feature_major_out:
         out_specs = pl.BlockSpec(
@@ -193,22 +224,23 @@ def _segment_reduce_call(
             _segment_reduce_kernel,
             n_feat=f,
             out_cols=out_cols,
+            n_blocks=nb,
             unpack_pairs=unpack_pairs,
             feature_major_out=feature_major_out,
         ),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + f),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((1, BLOCK_N + 128), jnp.int32),
-            *[pltpu.VMEM((2 * IN_CHUNK,), jnp.float32) for _ in range(f)],
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2, f)),
+            pltpu.VMEM((2, 1, BLOCK_N + 128), jnp.int32),
+            pltpu.VMEM((2, f, IN_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(off_pad, *cols)
+    )(off_pad, stacked)
     return out[:, :n] if feature_major_out else out[:n]
 
 

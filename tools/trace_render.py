@@ -1,4 +1,5 @@
-"""Trace the inference render step; dump top device ops."""
+"""Device-level trace of one inference render frame (1080p, 660k gaussians)
+— the per-kernel breakdown behind tools/bench_render.py's FPS number."""
 
 import glob
 import gzip
@@ -16,7 +17,9 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
@@ -41,29 +44,57 @@ def main():
         s, CameraParams(w2c=w2c, cam_position=cp,
                         K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
                         uid=jnp.asarray(0, jnp.int32), width=W, height=H),
-        jnp.zeros(3), mode="pallas", instance_cap=2_097_152, inference=True).image)
-    c = look_at_camera(8.0 * np.array([np.sin(0.3), -0.1, -np.cos(0.3)]), np.zeros(3),
-                       np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
-    args = (jnp.asarray(c.w2c), jnp.asarray(c.cam_position))
-    img = f(sd, *args); _ = float(img.ravel()[0])
+        jnp.zeros(3), mode="pallas", instance_cap=2_097_152, inference=True))
+    cams = []
+    for k in range(8):
+        th = 2 * np.pi * k / 8
+        c = look_at_camera(8.0 * np.array([np.sin(th), -0.1, -np.cos(th)]), np.zeros(3),
+                           np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
+        cams.append((jnp.asarray(c.w2c), jnp.asarray(c.cam_position)))
+    out = f(sd, *cams[0]); _ = float(out.image.ravel()[0])
+    out = f(sd, *cams[1]); _ = float(out.image.ravel()[0])
+    print("warm; tracing...", file=sys.stderr, flush=True)
 
-    outdir = "/tmp/lfs_rtrace"
-    import shutil; shutil.rmtree(outdir, ignore_errors=True)
-    jax.profiler.start_trace(outdir)
-    for _ in range(3):
-        img = f(sd, *args)
-    _ = float(img.ravel()[0])
+    trace_dir = "/tmp/lfs_rtrace"
+    os.system(f"rm -rf {trace_dir}")
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    opts.host_tracer_level = 1
+    jax.profiler.start_trace(trace_dir, profiler_options=opts)
+    n_frames = 8
+    for k in range(n_frames):
+        out = f(sd, *cams[k % 8])
+    _ = float(out.image.ravel()[0])
     jax.profiler.stop_trace()
 
-    evs = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True), key=os.path.getmtime)
-    with gzip.open(evs[-1], "rt") as fh:
-        data = json.load(fh)
-    tot = defaultdict(float)
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
-            tot[ev.get("name", "")] += ev["dur"]
-    for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{dur/1000/3:10.2f} ms  {name[:110]}")
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace found", file=sys.stderr)
+        return
+    with gzip.open(files[0], "rt") as fh:
+        trace = json.load(fh)
+    events = trace.get("traceEvents", [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pid_names.get(e["pid"], ""):
+            continue
+        dur = e.get("dur", 0) / 1000.0
+        name = e.get("name", "?")
+        by_name[name] += dur
+        count[name] += 1
+        total += dur
+    print(f"total device time: {total:.1f} ms over {n_frames} frames "
+          f"-> {total/n_frames:.1f} ms/frame\n")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{dur/n_frames:9.2f} ms/frame  x{count[name]:4d}  {name[:110]}")
 
 
 if __name__ == "__main__":
