@@ -165,6 +165,12 @@ def _alpha_mxu(feat_s, basis, cx, cy, in_range, exact=True):
     op = feat_s[5, :]
     nlog_op = -jnp.log(jnp.maximum(op, 1e-12))  # >= 0
     q0 = 0.5 * (ca * mxc * mxc + cc * myc * myc) + cb * mxc * myc + nlog_op
+    # out-of-range lanes fold into the constant term ([CHUNK]-sized select)
+    # instead of a [CHUNK, P] mask pass: s ~ 1e10 makes exp(-s) underflow to
+    # exactly 0 and fails the s <= log(255) keep test. in_range arrives
+    # LANE-MAJOR [1, CHUNK] — a [CHUNK, 1] orientation here forces a
+    # sublane->lane relayout that measurably costs more than the saved pass.
+    q0 = jnp.where(in_range[0], q0, 1e10)
     q1 = -(ca * mxc + cb * myc)
     q2 = -(cc * myc + cb * mxc)
     q = jnp.stack([q0, q1, q2, 0.5 * ca, cb, 0.5 * cc])  # [6, CHUNK]
@@ -183,7 +189,7 @@ def _alpha_mxu(feat_s, basis, cx, cy, in_range, exact=True):
         s = _dot3(q, basis, dims)  # [CHUNK, P]
     nlog_op_col = nlog_op[:, None]
     alpha = jnp.minimum(jnp.exp(-s), MAX_FRAGMENT_ALPHA)
-    keep = (s >= nlog_op_col) & (s <= -_LOG_MIN_ALPHA) & in_range
+    keep = (s >= nlog_op_col) & (s <= -_LOG_MIN_ALPHA)
     return jnp.where(keep, alpha, 0.0), s, nlog_op_col
 
 
@@ -225,6 +231,7 @@ def _forward_kernel(
     grid_w: int,
     tile_size: int,
     aligned: bool,
+    exact_alpha: bool = True,
     chunk: int = CHUNK,
 ):
     n_pix = tile_size * tile_size
@@ -273,13 +280,18 @@ def _forward_kernel(
         dma(slot, ci).wait()
         f = feat_s[slot]  # [8, CHUNK]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         if aligned:
             in_range = lane < count - ci * chunk
         else:
             gi = ci * chunk + lane
             in_range = (gi >= off) & (gi < end_rel)
-        alpha, _, _ = _alpha_mxu(f, basis, cx, cy, in_range)  # [CHUNK, P]
+        # inference renders accept the 3-pass split (|dalpha| ~ 1e-3 worst
+        # case, below the viewer's u8 quantization step of 1/255); training
+        # forwards stay exact for the loss and the compiled-parity gate
+        alpha, _, _ = _alpha_mxu(
+            f, basis, cx, cy, in_range, exact=exact_alpha
+        )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
         p_incl = t_carry * prod_incl
@@ -428,7 +440,7 @@ def _backward_kernel(
         dma_in(slot, ci).wait()
         f = feat_s[slot]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         if aligned:
             in_range_col = lane < count - ci * chunk
         else:
@@ -477,10 +489,11 @@ def _backward_kernel(
         # (or masked to 0), so 1-alpha >= 1e-3 always.
         dalpha = t_before * cg - (r0 - a_incl) / (1.0 - alpha)  # [CHUNK, P]
 
-        # chain into geometry (zero where clamped at 0.999 or skipped);
-        # alpha > 0 already folds the keep/in_range masks, and
-        # s > -log(0.999) <=> alpha_raw < 0.999 (the clamp gate)
-        live = (alpha > 0.0) & (s > -_LOG_MAX_FRAGMENT) & counted
+        # chain into geometry (zero where clamped at 0.999 or skipped):
+        # s > -log(0.999) <=> alpha_raw < 0.999 (the clamp gate). No
+        # explicit alpha > 0 mask — masked lanes have alpha == 0 exactly and
+        # dalpha finite there (1-alpha == 1), so the final multiply zeroes u.
+        live = (s > -_LOG_MAX_FRAGMENT) & counted
         u = jnp.where(live, dalpha, 0.0) * (-alpha)  # d(loss)/d(sigma2)
 
         # --- geometry gradients via ONE moment matmul ---------------------
@@ -624,12 +637,12 @@ def _pack8_t(packed16_t: jax.Array) -> jax.Array:
 
 
 def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
-                  aligned=True, chunk=CHUNK):
+                  aligned=True, exact_alpha=True, chunk=CHUNK):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
     kernel = functools.partial(
         _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
-        chunk=chunk,
+        exact_alpha=exact_alpha, chunk=chunk,
     )
     return pl.pallas_call(
         kernel,
@@ -706,14 +719,14 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     return dfeat_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _blend_gathered(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap, layout_chunk,
+    grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha,
 ):
     out, _ = _blend_gathered_fwd(
         packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-        grid_w, grid_h, tile_size, source_cap, layout_chunk,
+        grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha,
     )
     return out
 
@@ -731,7 +744,7 @@ def _gather_stream(packed16_t, g_pad, valid):
 
 def _blend_gathered_fwd(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap, layout_chunk,
+    grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha=True,
 ):
     # layout_chunk == 1 is the compact (inference) layout: the forward
     # kernel handles unaligned tile starts with half-size chunks (boundary
@@ -743,12 +756,14 @@ def _blend_gathered_fwd(
     feat_t = _gather_stream(packed16_t, g_pad, valid)
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
-        aligned=aligned, chunk=layout_chunk if aligned else CHUNK // 2,
+        aligned=aligned, exact_alpha=exact_alpha,
+        chunk=layout_chunk if aligned else CHUNK // 2,
     )
     return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
 
 
-def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk, res, g_out):
+def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
+                        exact_alpha, res, g_out):
     """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
     per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
@@ -791,9 +806,12 @@ def blend_pallas_fused(
     grid_h: int,
     tile_size: int = 16,
     n_channels: int = 3,
+    exact_alpha: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather + Pallas blend fused behind one custom VJP.
-    Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts])."""
+    Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts]).
+    exact_alpha=False (inference) evaluates sigma2 with the 3-pass bf16
+    split (~1e-3 worst-case alpha error, under the viewer's 1/255 step)."""
     out = _blend_gathered(
         packed16_t,
         assignment.gaussian_idx,
@@ -806,6 +824,7 @@ def blend_pallas_fused(
         tile_size,
         assignment.source_cap,
         assignment.chunk,  # 1 = compact (inference) layout -> unaligned fwd
+        exact_alpha,
     )
     ts = tile_size
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)

@@ -235,6 +235,11 @@ def rasterize(
                 grid_h=grid_h,
                 tile_size=tile_size,
                 n_channels=n_ch,
+                # exact everywhere: a 3-pass bf16-split sigma2 was MEASURED
+                # SLOWER than Mosaic's native 6-pass HIGHEST here (three
+                # separate [CHUNK,P] matmuls + two adds vs one fused op),
+                # so the inference path gains nothing from the looser math
+                exact_alpha=True,
             )
         else:
             assignment = build_tile_assignment(
