@@ -7,7 +7,9 @@ an embedded WebGL2 3D-gaussian renderer (instanced quads + conic fragment
 shader, 16-bit counting-sort depth ordering that handles >=1M splats,
 orbit/pan/zoom controls), plus degree-1 spherical-harmonics view-dependent
 color evaluated in the vertex shader (kernel_utils.cuh:15-40 basis
-convention). Open it in any browser — no server, no dependencies.
+convention) and the reference viewer's render modes (keys 1-4: RGB, depth
+colormap, point cloud, split RGB|depth — src/rendering/ RenderMode parity).
+Open it in any browser — no server, no dependencies.
 
 Splat data is embedded base64 (~25 B/splat: f32 pos, u8 rgba, f16 cov3d,
 i8 SH1 coeffs) and capped at `max_points` by opacity-weighted importance."""
@@ -63,11 +65,12 @@ layout(location=5) in vec3 a_sh1a; // rgb of basis -C1*y
 layout(location=6) in vec3 a_sh1b; // rgb of basis  C1*z
 layout(location=7) in vec3 a_sh1c; // rgb of basis -C1*x
 uniform mat4 view; uniform float fx,fy; uniform vec2 vp; uniform vec3 eye;
-out vec4 v_col; out vec2 v_d; out vec3 v_conic;
+uniform int mode; // 0 rgb, 1 depth, 2 point cloud, 3 split rgb|depth
+out vec4 v_col; out vec2 v_d; out vec3 v_conic; out float v_z;
 void main(){
  vec4 pc = view * vec4(a_pos,1.0);
  if(pc.z < 0.05){ gl_Position=vec4(0,0,2,1); return; }
- float z=pc.z;
+ float z=pc.z; v_z=z;
  mat3 S=mat3(a_covA.x,a_covA.y,a_covA.z, a_covA.y,a_covB.x,a_covB.y, a_covA.z,a_covB.y,a_covB.z);
  mat3 W=mat3(view); // upper 3x3 (column major)
  mat3 J=mat3(fx/z,0.0,0.0, 0.0,fy/z,0.0, -fx*pc.x/(z*z),-fy*pc.y/(z*z),0.0);
@@ -76,6 +79,7 @@ void main(){
  float det=cxx*cyy-cxy*cxy; if(det<1e-9){ gl_Position=vec4(0,0,2,1); return; }
  v_conic=vec3(cyy,-cxy,cxx)/det;
  float r=3.0*sqrt(max(cxx,cyy));
+ if(mode==2){ r=2.0; } // point-cloud: fixed 2px sprite
  vec2 center=vec2(fx*pc.x/z, fy*pc.y/z);
  vec2 d=corner*r;
  v_d=d;
@@ -89,13 +93,25 @@ void main(){
 }`;
 const FS=`#version 300 es
 precision highp float;
-in vec4 v_col; in vec2 v_d; in vec3 v_conic; out vec4 frag;
+in vec4 v_col; in vec2 v_d; in vec3 v_conic; in float v_z; out vec4 frag;
+uniform int mode; uniform float znear,zfar,splitx;
+vec3 turbo(float t){ // polynomial fit of the Turbo colormap
+ t=clamp(t,0.0,1.0);
+ return clamp(vec3(
+  0.1357+t*(4.5974+t*(-42.3277+t*(130.5887+t*(-150.5666+t*58.1375)))),
+  0.0914+t*(2.1856+t*(4.8052+t*(-14.0195+t*(4.2109+t*2.7747)))),
+  0.1067+t*(12.5925+t*(-60.1097+t*(109.0745+t*(-88.5066+t*26.8183))))),0.0,1.0);
+}
 void main(){
+ bool depthHalf = (mode==1) || (mode==3 && gl_FragCoord.x > splitx);
+ if(mode==2){ // point cloud: opaque sprites, no falloff
+  frag=vec4(depthHalf?turbo(1.0-(v_z-znear)/(zfar-znear)):v_col.rgb,1.0); return; }
  float p=0.5*(v_conic.x*v_d.x*v_d.x+v_conic.z*v_d.y*v_d.y)+v_conic.y*v_d.x*v_d.y;
  if(p<0.0) discard;
  float a=v_col.a*exp(-p);
  if(a<0.0039) discard;
- frag=vec4(v_col.rgb*a, a);
+ vec3 rgb = depthHalf ? turbo(1.0-(v_z-znear)/(zfar-znear)) : v_col.rgb;
+ frag=vec4(rgb*a, a);
 }`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);gl.compileShader(o);
  if(!gl.getShaderParameter(o,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(o);return o;}
@@ -133,6 +149,11 @@ window.addEventListener("mousemove",e=>{if(!drag)return;
  else{panX-=dx*dist*0.001;panY-=dy*dist*0.001;}});
 canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();},{passive:false});
 canvas.addEventListener("contextmenu",e=>e.preventDefault());
+// render modes (reference viewer render_mode parity: RGB / D / point cloud / split)
+let mode=0; const MODES=["rgb","depth","points","split rgb|depth"];
+window.addEventListener("keydown",e=>{
+ if(e.key==="1")mode=0; else if(e.key==="2")mode=1;
+ else if(e.key==="3")mode=2; else if(e.key==="4")mode=3;});
 
 // 16-bit counting sort over quantized view depth: O(N) per re-sort, scales
 // to millions of splats where Array.prototype.sort thrashes
@@ -201,9 +222,13 @@ function draw(){
  gl.uniform1f(gl.getUniformLocation(prog,"fy"),f_px);
  gl.uniform2f(gl.getUniformLocation(prog,"vp"),w,h);
  gl.uniform3f(gl.getUniformLocation(prog,"eye"),eye[0],eye[1],eye[2]);
+ gl.uniform1i(gl.getUniformLocation(prog,"mode"),mode);
+ gl.uniform1f(gl.getUniformLocation(prog,"znear"),Math.max(dist-2.0*radius,0.05));
+ gl.uniform1f(gl.getUniformLocation(prog,"zfar"),dist+2.0*radius);
+ gl.uniform1f(gl.getUniformLocation(prog,"splitx"),0.5*w);
  gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
  frames++;const now=performance.now();
- if(now-lastT>500){hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | drag orbit, shift-drag pan, wheel zoom`;frames=0;lastT=now;}
+ if(now-lastT>500){hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | ${MODES[mode]} | drag orbit, shift-drag pan, wheel zoom, 1-4 mode`;frames=0;lastT=now;}
  requestAnimationFrame(draw);
 }
 requestAnimationFrame(draw);

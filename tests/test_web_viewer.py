@@ -1,0 +1,66 @@
+"""WebGL viewer export: binary layout, quantization round-trip, and the
+render-mode feature surface (reference src/rendering RenderMode parity)."""
+
+import base64
+import json
+import re
+
+import numpy as np
+
+from lichtfeld_studio_tpu.render.web_viewer import export_html
+from tests.scene_utils import make_random_splats
+
+
+def _extract(html: str):
+    meta = json.loads(re.search(r"const META = (\{.*?\});", html).group(1))
+    data = base64.b64decode(re.search(r'atob\("([A-Za-z0-9+/=]*)"\)', html).group(1))
+    return meta, data
+
+
+def test_export_layout_and_quantization(rng, tmp_path):
+    splats = make_random_splats(rng, n=100, capacity=128)
+    out = export_html(splats, tmp_path / "v.html")
+    html = out.read_text()
+    meta, data = _extract(html)
+
+    stride = 12 + 4 + 12 + 9
+    assert meta["count"] == 100
+    assert len(data) == 100 * stride
+
+    buf = np.frombuffer(data, np.uint8).reshape(100, stride)
+    pos = buf[:, 0:12].copy().view("<f4")
+    np.testing.assert_allclose(pos, np.asarray(splats.means[:100]), rtol=1e-6)
+    # opacity byte = sigmoid(logit) * 255
+    opac = buf[:, 15].astype(np.float64)
+    want = 255.0 / (1.0 + np.exp(-np.asarray(splats.opacity[:100, 0])))
+    assert np.abs(opac - want).max() <= 1.0
+    # SH1 int8 quantization round-trips within one step
+    sh1 = buf[:, 28:37].copy().view(np.int8).astype(np.float32) * meta["sh1_scale"]
+    want_sh1 = np.asarray(splats.shN[:100, :3, :]).reshape(100, 9)
+    assert np.abs(sh1 - want_sh1).max() <= meta["sh1_scale"] * 1.01
+
+
+def test_export_feature_surface(rng, tmp_path):
+    splats = make_random_splats(rng, n=50, capacity=64)
+    html = export_html(splats, tmp_path / "v.html").read_text()
+    # render modes (keys 1-4), SH1 view dependence, counting sort, controls
+    for needle in [
+        "uniform int mode",
+        "turbo(",  # depth colormap
+        "point cloud",
+        "splitx",
+        "a_sh1a",
+        "drawArraysInstanced",
+        "vertexAttribDivisor",
+    ]:
+        assert needle in html, needle
+    # template substitutions fully resolved
+    assert "__META__" not in html and "__DATA__" not in html
+
+
+def test_export_respects_max_points(rng, tmp_path):
+    splats = make_random_splats(rng, n=200, capacity=256)
+    html = export_html(splats, tmp_path / "v.html", max_points=64).read_text()
+    meta, data = _extract(html)
+    assert meta["count"] == 64
+    assert len(data) == 64 * (12 + 4 + 12 + 9)
