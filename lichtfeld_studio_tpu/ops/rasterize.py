@@ -54,6 +54,48 @@ class RenderOutput:
     height: int = 0
 
 
+def count_instances(
+    splats: SplatData,
+    camera: CameraParams,
+    *,
+    tile_size: int = 32,
+    projection: str = "auto",
+) -> jax.Array:
+    """Scalar int32: total tile instances this view would bin (sum of exact
+    per-gaussian touched-tile counts). A projection-only probe — no sort, no
+    blend — used by the headless renderer to pick a snug instance-cap bucket
+    before compiling the full frame (the static-shape analogue of the
+    reference's per-frame cub workspace sizing, forward.cu:99-127)."""
+    from lichtfeld_studio_tpu.core.camera import CameraModelType, ShutterType
+
+    if projection == "auto":
+        perfect_pinhole = (
+            camera.camera_model == CameraModelType.PINHOLE
+            and camera.shutter_type == ShutterType.GLOBAL
+        )
+        projection = "ewa" if perfect_pinhole else "ut"
+    common = dict(width=camera.width, height=camera.height, tile_size=tile_size)
+    if projection == "ut":
+        from lichtfeld_studio_tpu.ops.ut_projection import project_gaussians_ut
+
+        proj = project_gaussians_ut(
+            splats.means, splats.scaling, splats.rotation, splats.opacity,
+            splats.sh0, splats.shN, splats.active_mask(),
+            splats.active_sh_degree, camera.w2c, camera.cam_position, camera.K,
+            camera_model=camera.camera_model, radial=camera.radial,
+            tangential=camera.tangential, w2c_end=camera.w2c_end,
+            shutter_type=camera.shutter_type, **common,
+        )
+    else:
+        proj = project_gaussians(
+            splats.means, splats.scaling, splats.rotation, splats.opacity,
+            splats.sh0, splats.shN, splats.active_mask(),
+            splats.active_sh_degree, camera.w2c, camera.cam_position, camera.K,
+            exact_tile_cap=32 if tile_size < 32 else 16, **common,
+        )
+    return jnp.sum(proj.n_touched)
+
+
 def rasterize(
     splats: SplatData,
     camera: CameraParams,

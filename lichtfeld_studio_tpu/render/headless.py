@@ -23,15 +23,47 @@ from lichtfeld_studio_tpu.io.ply import read_ply
 from lichtfeld_studio_tpu.ops.rasterize import rasterize
 
 
+# Snug instance-cap buckets for adaptive headless rendering: every
+# binning/sort/gather stage scales with the STATIC cap, so rendering a
+# sparse view at the 2^21 worst-case cap wastes ~cap/true_count of that
+# work. Buckets at x1.5 steps keep waste <= 50% worst / ~20% typical while
+# bounding recompiles at one per bucket (XLA caches per static shape) —
+# the static-shape analogue of the reference's exact per-frame cub
+# workspace allocation (fastgs forward.cu:99-127).
+_CAP_BUCKETS = [
+    1 << 17, 196_608, 1 << 18, 393_216, 1 << 19, 786_432, 1 << 20,
+    1_572_864, 1 << 21, 3_145_728, 1 << 22,
+]
+
+
+def _bucket_cap(count: int, margin: float = 1.1) -> int:
+    need = int(count * margin) + 1
+    for b in _CAP_BUCKETS:
+        if b >= need:
+            return b
+    return _CAP_BUCKETS[-1]
+
+
 def render_view(
     splats: SplatData,
     camera: Camera,
     bg_color=(0.0, 0.0, 0.0),
     mode: str | None = None,
-    instance_cap: int = 2**21,
+    instance_cap: int | None = None,
 ) -> np.ndarray:
+    """instance_cap=None probes the view's true instance count (cheap
+    projection-only pass) and picks a snug bucket; pass an explicit cap to
+    pin the compiled shape (e.g. for benchmarking)."""
     if mode is None:
         mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
+    if instance_cap is None:
+        from lichtfeld_studio_tpu.ops.rasterize import count_instances
+
+        n = int(jax.jit(count_instances, static_argnames=("tile_size",))(
+            splats, camera.device_params(),
+            tile_size=32 if mode == "pallas" else 16,
+        ))
+        instance_cap = _bucket_cap(n)
     out = rasterize(
         splats,
         camera.device_params(),
