@@ -156,3 +156,20 @@ def test_inference_binning_matches_training(rng):
         instance_cap=4096, inference=True).image
     np.testing.assert_allclose(
         np.asarray(img_inf), np.asarray(img_tr), atol=2e-3)
+
+
+def test_count_instances_probe_matches_rasterize(rng):
+    """The headless renderer's projection-only cap probe must agree with the
+    full pipeline's true instance count (rasterize.n_instances)."""
+    import jax
+
+    from lichtfeld_studio_tpu.ops.rasterize import count_instances, rasterize
+    from tests.scene_utils import make_camera, make_random_splats
+
+    cam = make_camera(64, 48)
+    splats = make_random_splats(rng, n=80, capacity=128)
+    out = rasterize(splats, cam.device_params(), jnp.zeros(3), mode="tiles",
+                    tile_size=16, instance_cap=4096, k_max=256)
+    probe = jax.jit(count_instances, static_argnames=("tile_size",))(
+        splats, cam.device_params(), tile_size=16)
+    assert int(probe) == int(out.n_instances)
