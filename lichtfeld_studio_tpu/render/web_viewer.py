@@ -23,7 +23,6 @@ from pathlib import Path
 
 import numpy as np
 
-from lichtfeld_studio_tpu.core.splat_data import SplatData
 
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>LichtFeld-Studio-TPU viewer</title>
@@ -240,28 +239,54 @@ def _f16_bits(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float16).view(np.uint16)
 
 
+def _cov3d_np(quat: np.ndarray, log_scale: np.ndarray) -> np.ndarray:
+    """Host-side quat/scale -> 3x3 covariance (same math as
+    ops/gaussians.quat_scale_to_cov3d, kept in numpy so viewer export never
+    round-trips through the accelerator)."""
+    q = quat / np.maximum(np.linalg.norm(quat, axis=1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+    M = R * np.exp(log_scale)[:, None, :]
+    return M @ M.transpose(0, 2, 1)
+
+
 def export_html(
-    splats: SplatData,
+    splats,
     output: str | Path,
     max_points: int = 1_000_000,
     seed: int = 0,
 ) -> Path:
     """Write a standalone interactive HTML viewer for the splat model.
     View-dependent color up to SH degree 1 (int8-quantized coefficients);
-    `max_points` caps the embed size by opacity-weighted importance."""
-    import jax.numpy as jnp
+    `max_points` caps the embed size by opacity-weighted importance.
 
-    n = int(splats.n_active)
-    means = np.asarray(splats.means[:n])
-    opac = np.asarray(jnp.clip(jnp.round(255 * (1 / (1 + np.e ** -np.asarray(splats.opacity[:n, 0])))), 0, 255)).astype(np.uint8)
-    sh0 = np.asarray(splats.sh0[:n, 0, :])
+    Accepts a SplatData (device arrays; pulled to host once) or a host
+    PointCloud — pass the latter when one is already materialized (e.g. the
+    trainer's checkpoint save) to avoid a second device->host download."""
+    from lichtfeld_studio_tpu.core.point_cloud import PointCloud
+
+    pc = splats if isinstance(splats, PointCloud) else splats.to_point_cloud()
+    n = pc.size
+    means = pc.means.astype(np.float32, copy=False)
+    opac = np.clip(
+        np.round(255.0 / (1.0 + np.exp(-pc.opacity[:, 0].astype(np.float64)))), 0, 255
+    ).astype(np.uint8)
+    sh0 = pc.sh0[:, 0, :]
     rgb = np.clip((0.5 + 0.28209479177387814 * sh0) * 255.0, 0, 255).astype(np.uint8)
-    # degree-1 coefficients [n, 3(coeff), 3(rgb)] (shN rows 0-2)
-    shn = np.asarray(splats.shN[:n, :3, :]).astype(np.float32)
+    # degree-1 coefficients [n, 3(coeff), 3(rgb)] (shN rows 0-2); zero-pad
+    # degree-0 models so the viewer layout is uniform
+    shn = np.zeros((n, 3, 3), np.float32)
+    k1 = min(3, pc.shN.shape[1])
+    shn[:, :k1, :] = pc.shN[:, :k1, :]
 
-    from lichtfeld_studio_tpu.ops.gaussians import quat_scale_to_cov3d
-
-    cov = np.asarray(quat_scale_to_cov3d(splats.rotation[:n], splats.scaling[:n]))
+    cov = _cov3d_np(pc.rotation, pc.scaling)
     cov6 = np.stack(
         [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
         axis=1,

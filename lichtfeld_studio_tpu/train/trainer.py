@@ -540,12 +540,22 @@ class Trainer:
         splat_data.cpp:113-170). Identical on-disk layout to the reference;
         the output is registered in the .lfs project (trainer.cpp:1021-1028)."""
         out = self.output_dir / f"splat_{iteration}.ply"
-        write_ply(self.state.splats.to_point_cloud(), out)
+        pc = self.state.splats.to_point_cloud()
+        write_ply(pc, out)
+        # live-training view (TrainerManager analog, training_manager.cpp:
+        # 121-165): refresh a standalone web viewer at every checkpoint so a
+        # browser tab on the output dir shows training progress on reload
+        try:
+            from lichtfeld_studio_tpu.render.web_viewer import export_html
+
+            export_html(pc, self.output_dir / "viewer_live.html")
+        except Exception as e:  # viewer export must never kill training
+            print(f"[viewer] live export failed: {e}", flush=True)
         if self.params.optimization.save_sog:
             from lichtfeld_studio_tpu.io.sog import write_sog
 
             write_sog(
-                self.state.splats.to_point_cloud(),
+                pc,
                 self.output_dir / f"splat_{iteration}.sog",
                 kmeans_iterations=self.params.optimization.sog_iterations,
             )
