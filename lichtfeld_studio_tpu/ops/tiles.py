@@ -128,23 +128,7 @@ def build_tile_assignment(
     depth_keep = 31 - tile_bits
     fused_key = (not need_grad) and depth_keep >= 12
 
-    offsets = jnp.cumsum(n_touched) - n_touched  # exclusive prefix sum [C]
-    total = (offsets[-1] + n_touched[-1]).astype(jnp.int32)
-
-    # --- instance slot -> owning gaussian (scatter-marker + cumsum), and
-    # slot -> rank-within-segment WITHOUT the offsets[g] gather (a [I] gather
-    # from a [C] table costs ~19 ms at 2.5M on v5e; a second scatter+cumsum
-    # is ~3 ms): scatter each segment's start-position JUMP at its start and
-    # prefix-sum — the running sum IS the owning segment's start offset ---
-    slot = jnp.arange(instance_cap, dtype=jnp.int32)
-    marker = jnp.zeros((instance_cap,), jnp.int32).at[offsets].add(1, mode="drop")
-    g = jnp.cumsum(marker) - 1
-    # segment start via running max of marked positions (no second scatter)
-    seg_start = jax.lax.cummax(jnp.where(marker > 0, slot, 0))
-    rank = slot - seg_start
-
-    # --- packed per-gaussian int payload, ONE row gather; bit-packed to 4
-    # words (gather cost scales with row bytes):
+    # --- packed per-gaussian int payload; bit-packed to 4 words:
     #   w0 = x_min | y_min << 16
     #   w1 = bbox_width | n_touched << 10   (grids <= 1024 tiles wide)
     #   w2 = depth key bits, w3 = exact-contribution tile mask ---
@@ -162,7 +146,34 @@ def build_tile_assignment(
         ],
         axis=0,
     )  # [4, C] int32
-    pl_t = jnp.take(payload_t, g, axis=1)  # [4, I]
+
+    slot = jnp.arange(instance_cap, dtype=jnp.int32)
+    total = jnp.sum(n_touched).astype(jnp.int32)
+    if jax.default_backend() in ("tpu", "axon"):
+        # Pallas expansion: compaction sort + windowed one-hot matmul
+        # (kernels/expand_pallas.py) — replaces ~15 ms of scatter-marker +
+        # prefix scans + payload gather with ~6 ms at the bench geometry
+        from lichtfeld_studio_tpu.kernels.expand_pallas import expand_instances
+
+        g, rank, pl_t = expand_instances(
+            n_touched, payload_t, instance_cap, counts_bits=10
+        )
+    else:
+        # --- XLA construction: instance slot -> owning gaussian (scatter-
+        # marker + cumsum), and slot -> rank-within-segment WITHOUT the
+        # offsets[g] gather (a [I] gather from a [C] table costs ~19 ms at
+        # 2.5M on v5e; a second scatter+cumsum is ~3 ms): scatter each
+        # segment's start-position JUMP at its start and prefix-sum — the
+        # running sum IS the owning segment's start offset ---
+        offsets = (jnp.cumsum(n_touched) - n_touched).astype(jnp.int32)
+        marker = (
+            jnp.zeros((instance_cap,), jnp.int32).at[offsets].add(1, mode="drop")
+        )
+        g = jnp.cumsum(marker) - 1
+        # segment start via running max of marked positions (no 2nd scatter)
+        seg_start = jax.lax.cummax(jnp.where(marker > 0, slot, 0))
+        rank = slot - seg_start
+        pl_t = jnp.take(payload_t, g, axis=1)  # [4, I]
     x_min_i = pl_t[0] & 0xFFFF
     y_min_i = (pl_t[0] >> 16) & 0xFFFF
     bb_w_i = pl_t[1] & 0x3FF
