@@ -266,11 +266,21 @@ def _forward_kernel(
         dma(0, 0).start()
 
     def cond(carry):
-        ci, t_carry, _ = carry
-        return (ci < n_chunks) & (jnp.max(t_carry) >= TRANSMITTANCE_THRESHOLD)
+        # t_run is monotone non-increasing, so this terminates as soon as
+        # every pixel in the tile saturates (the reference's `done` ballot)
+        ci, t_run, _, _ = carry
+        return (ci < n_chunks) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
 
     def body(carry):
-        ci, t_carry, acc = carry  # t_carry [1, P], acc [4, P]
+        # t_run [1, P]: the UNFROZEN running product of (1-alpha) — the
+        # oracle's monotone cum chain (blend_ref.py). counted/t_before come
+        # from it, so the counted set is a strict per-pixel prefix (INRIA
+        # done-flag semantics; the frozen-carry formulation could re-admit
+        # post-crossing contributions AND never tripped the cond's
+        # early-exit because the frozen value stays >= the threshold).
+        # t_fin [1, P]: transmittance after the last counted contribution —
+        # the kernel's alpha output, frozen exactly like the reference's T.
+        ci, t_run, t_fin, acc = carry
         slot = ci % 2
 
         @pl.when(ci + 1 < n_chunks)
@@ -294,10 +304,10 @@ def _forward_kernel(
         )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
-        p_incl = t_carry * prod_incl
+        p_incl = t_run * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
         # exclusive product = inclusive shifted down one row (leading 1)
-        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
+        t_before = t_run * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
         w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
@@ -311,22 +321,30 @@ def _forward_kernel(
         )
         acc = acc + dotc(colors, w_hi) + dotc(colors, w_lo)  # [4, P]
 
-        t_new = jnp.min(
-            jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
+        t_fin = jnp.min(
+            jnp.where(counted, p_incl, jnp.broadcast_to(t_fin, p_incl.shape)),
             axis=0,
             keepdims=True,
         )
-        return ci + 1, t_new, acc
+        return ci + 1, p_incl[chunk - 1 : chunk, :], t_fin, acc
 
-    _, t_final, acc = jax.lax.while_loop(
+    ci_end, _, t_final, acc = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(0, jnp.int32),
             jnp.ones((1, n_pix), jnp.float32),
+            jnp.ones((1, n_pix), jnp.float32),
             jnp.zeros((4, n_pix), jnp.float32),
         ),
     )
+
+    # early exit leaves the next chunk's prefetch in flight — consume it or
+    # the DMA semaphore is imbalanced at program end (device-fatal)
+    @pl.when(ci_end < n_chunks)
+    def _():
+        dma(ci_end % 2, ci_end).wait()
+
     out_ref[0, 0:4, :] = acc
     out_ref[0, 4, :] = t_final[0]
     out_ref[0, 5:8, :] = jnp.zeros((3, n_pix), jnp.float32)
@@ -426,11 +444,16 @@ def _backward_kernel(
     r0 = gout_ref[0, 5, :][None, :] + g_tfin * t_final  # [1, P]
 
     def cond(carry):
-        ci, t_carry, _ = carry
-        return (ci < n_chunks) & (jnp.max(t_carry) >= TRANSMITTANCE_THRESHOLD)
+        # t_run (unfrozen chain) is monotone non-increasing — terminates
+        # when every pixel saturates, exactly like the forward pass
+        ci, t_run, _ = carry
+        return (ci < n_chunks) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
 
     def body(carry):
-        ci, t_carry, a_run = carry  # a_run [1, P]: cumulative sum w*cg so far
+        # t_run: UNFROZEN running (1-alpha) product (see forward kernel) —
+        # keeps the replayed counted set a strict prefix, identical to the
+        # forward's. a_run [1, P]: cumulative sum w*cg so far.
+        ci, t_run, a_run = carry
         slot = ci % 2
 
         @pl.when(ci + 1 < n_chunks)
@@ -452,9 +475,9 @@ def _backward_kernel(
         alpha, s, nlog_op_col = _alpha_mxu(f, basis, cx, cy, in_range_col)
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
-        p_incl = t_carry * prod_incl
+        p_incl = t_run * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        t_before = t_carry * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
+        t_before = t_run * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
         w = jnp.where(counted, t_before * alpha, 0.0)
 
         raw_colors = _unpack_colors(f)  # [4, CHUNK]
@@ -565,14 +588,9 @@ def _backward_kernel(
                 )
         dma_out(oslot, ci).start()
 
-        t_new = jnp.min(
-            jnp.where(counted, p_incl, jnp.broadcast_to(t_carry, p_incl.shape)),
-            axis=0,
-            keepdims=True,
-        )
         # the inclusive prefix's last row IS a_run + sum(wcg) — no extra reduce
         a_new = a_incl[chunk - 1 : chunk, :]
-        return ci + 1, t_new, a_new
+        return ci + 1, p_incl[chunk - 1 : chunk, :], a_new
 
     ci_end, _, _ = jax.lax.while_loop(
         cond,
@@ -583,6 +601,12 @@ def _backward_kernel(
             jnp.zeros((1, n_pix), jnp.float32),
         ),
     )
+
+    # early exit leaves the next chunk's input prefetch in flight — consume
+    # it or the DMA semaphore is imbalanced at program end (device-fatal)
+    @pl.when(ci_end < n_chunks)
+    def _():
+        dma_in(ci_end % 2, ci_end).wait()
 
     # Zero-fill gradient chunks skipped by early termination (the output HBM
     # buffer is uninitialized memory otherwise), continuing the slot rotation.

@@ -89,14 +89,6 @@ def _select_bit(mask: jax.Array, r: jax.Array) -> jax.Array:
     return k
 
 
-def _owner_from_offsets(offsets: jax.Array, size: int) -> jax.Array:
-    """For each slot in [0, size): index of the last segment whose start
-    offset is <= slot (== searchsorted(offsets, slot, 'right') - 1, built
-    from scatter + prefix sum because binary search is slow on TPU)."""
-    marker = jnp.zeros((size,), jnp.int32).at[offsets].add(1, mode="drop")
-    return jnp.cumsum(marker) - 1
-
-
 def build_tile_assignment(
     proj: ProjectedSplats,
     *,
