@@ -65,8 +65,11 @@ layout(location=6) in vec3 a_sh1b; // rgb of basis  C1*z
 layout(location=7) in vec3 a_sh1c; // rgb of basis -C1*x
 uniform mat4 view; uniform float fx,fy; uniform vec2 vp; uniform vec3 eye;
 uniform int mode; // 0 rgb, 1 depth, 2 point cloud, 3 split rgb|depth
+uniform int useCrop; uniform vec3 cropMin, cropMax;
 out vec4 v_col; out vec2 v_d; out vec3 v_conic; out float v_z;
 void main(){
+ if(useCrop==1 && (any(lessThan(a_pos,cropMin))||any(greaterThan(a_pos,cropMax)))){
+  gl_Position=vec4(0,0,2,1); return; }
  vec4 pc = view * vec4(a_pos,1.0);
  if(pc.z < 0.05){ gl_Position=vec4(0,0,2,1); return; }
  float z=pc.z; v_z=z;
@@ -114,10 +117,39 @@ void main(){
 }`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);gl.compileShader(o);
  if(!gl.getShaderParameter(o,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(o);return o;}
-const prog=gl.createProgram();
-gl.attachShader(prog,sh(gl.VERTEX_SHADER,VS));gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,FS));
-gl.linkProgram(prog);if(!gl.getProgramParameter(prog,gl.LINK_STATUS))throw gl.getProgramInfoLog(prog);
+function mkProg(vs,fs){const p=gl.createProgram();
+ gl.attachShader(p,sh(gl.VERTEX_SHADER,vs));gl.attachShader(p,sh(gl.FRAGMENT_SHADER,fs));
+ gl.linkProgram(p);if(!gl.getProgramParameter(p,gl.LINK_STATUS))throw gl.getProgramInfoLog(p);return p;}
+const prog=mkProg(VS,FS);
 gl.useProgram(prog);
+
+// line-overlay program (axes / grid / crop box / camera frustums — the
+// reference's axes_renderer / grid_renderer / bbox_renderer /
+// camera_frustum_renderer, src/rendering/)
+const LVS=`#version 300 es
+layout(location=0) in vec3 p; layout(location=1) in vec3 c;
+uniform mat4 view; uniform float fx,fy; uniform vec2 vp; out vec3 v_c;
+void main(){ v_c=c; vec4 pc=view*vec4(p,1.0);
+ if(pc.z<0.05){ gl_Position=vec4(0,0,2,1); return; }
+ vec2 ndc=vec2(fx*pc.x/pc.z, fy*pc.y/pc.z)/(0.5*vp);
+ gl_Position=vec4(ndc.x,-ndc.y,pc.z/1e4,1.0);}`;
+const LFS=`#version 300 es
+precision highp float; in vec3 v_c; uniform float opac; out vec4 frag;
+void main(){ frag=vec4(v_c*opac, opac); }`;
+const lprog=mkProg(LVS,LFS);
+const lbuf=gl.createBuffer(), lcbuf=gl.createBuffer();
+function drawLines(verts, cols, opacity){
+ gl.useProgram(lprog);
+ gl.bindBuffer(gl.ARRAY_BUFFER,lbuf);gl.bufferData(gl.ARRAY_BUFFER,verts,gl.DYNAMIC_DRAW);
+ gl.enableVertexAttribArray(0);gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);gl.vertexAttribDivisor(0,0);
+ gl.bindBuffer(gl.ARRAY_BUFFER,lcbuf);gl.bufferData(gl.ARRAY_BUFFER,cols,gl.DYNAMIC_DRAW);
+ gl.enableVertexAttribArray(1);gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);gl.vertexAttribDivisor(1,0);
+ gl.uniform1f(gl.getUniformLocation(lprog,"opac"),opacity);
+ gl.drawArrays(gl.LINES,0,verts.length/3);
+ // restore the splat program's loc-0 quad binding (shared attribute slot)
+ gl.bindBuffer(gl.ARRAY_BUFFER,qb);
+ gl.enableVertexAttribArray(0);gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
+ gl.useProgram(prog);}
 
 const quad=new Float32Array([-1,-1, 1,-1, -1,1, 1,1]);
 const qb=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,qb);gl.bufferData(gl.ARRAY_BUFFER,quad,gl.STATIC_DRAW);
@@ -150,9 +182,57 @@ canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefa
 canvas.addEventListener("contextmenu",e=>e.preventDefault());
 // render modes (reference viewer render_mode parity: RGB / D / point cloud / split)
 let mode=0; const MODES=["rgb","depth","points","split rgb|depth"];
+// overlay + tool state (reference rendering_manager.hpp settings:
+// show_coord_axes / show_grid / show_camera_frustums / crop box show+use)
+let showAxes=false, showGrid=false, showFrustums=false;
+let showCrop=false, useCrop=false, cropAxis=0;
+// crop box initialized to the 5%-95% extent of the scene
+const bmin=META.bbox_min.slice(), bmax=META.bbox_max.slice();
+const cropLo=bmin.slice(), cropHi=bmax.slice();
 window.addEventListener("keydown",e=>{
+ const step=0.05*(bmax[cropAxis]-bmin[cropAxis]);
  if(e.key==="1")mode=0; else if(e.key==="2")mode=1;
- else if(e.key==="3")mode=2; else if(e.key==="4")mode=3;});
+ else if(e.key==="3")mode=2; else if(e.key==="4")mode=3;
+ else if(e.key==="a")showAxes=!showAxes;
+ else if(e.key==="g")showGrid=!showGrid;
+ else if(e.key==="f")showFrustums=!showFrustums;
+ else if(e.key==="c")showCrop=!showCrop;
+ else if(e.key==="x")useCrop=!useCrop;
+ else if(e.key==="z")cropAxis=(cropAxis+1)%3;
+ else if(e.key==="[")cropLo[cropAxis]=Math.min(cropLo[cropAxis]+step,cropHi[cropAxis]);
+ else if(e.key==="{")cropLo[cropAxis]-=step;
+ else if(e.key==="]")cropHi[cropAxis]=Math.max(cropHi[cropAxis]-step,cropLo[cropAxis]);
+ else if(e.key==="}")cropHi[cropAxis]+=step;
+ else if(e.key==="r"){for(let k=0;k<3;k++){cropLo[k]=bmin[k];cropHi[k]=bmax[k];}}});
+
+// --- overlay geometry ------------------------------------------------------
+function axesLines(){ // RGB = XYZ, axes_size scaled to the scene
+ const s=META.radius, c=center;
+ return {v:new Float32Array([c[0],c[1],c[2], c[0]+s,c[1],c[2],
+   c[0],c[1],c[2], c[0],c[1]+s,c[2],  c[0],c[1],c[2], c[0],c[1],c[2]+s]),
+  c:new Float32Array([1,0.2,0.2, 1,0.2,0.2, 0.2,1,0.2, 0.2,1,0.2, 0.3,0.5,1, 0.3,0.5,1])};}
+function gridLines(){ // XZ ground plane (reference grid_plane=1), 2x scene radius
+ const s=2*META.radius, c=center, y=bmax[1], n=10, v=[], col=[];
+ for(let i=-n;i<=n;i++){const t=i*s/n;
+  v.push(c[0]+t,y,c[2]-s, c[0]+t,y,c[2]+s, c[0]-s,y,c[2]+t, c[0]+s,y,c[2]+t);
+  for(let k=0;k<4;k++)col.push(0.5,0.5,0.55);}
+ return {v:new Float32Array(v), c:new Float32Array(col)};}
+function boxLines(lo,hi,r,g,b){
+ const x0=lo[0],y0=lo[1],z0=lo[2],x1=hi[0],y1=hi[1],z1=hi[2];
+ const e=[[x0,y0,z0,x1,y0,z0],[x0,y1,z0,x1,y1,z0],[x0,y0,z1,x1,y0,z1],[x0,y1,z1,x1,y1,z1],
+  [x0,y0,z0,x0,y1,z0],[x1,y0,z0,x1,y1,z0],[x0,y0,z1,x0,y1,z1],[x1,y0,z1,x1,y1,z1],
+  [x0,y0,z0,x0,y0,z1],[x1,y0,z0,x1,y0,z1],[x0,y1,z0,x0,y1,z1],[x1,y1,z0,x1,y1,z1]];
+ const v=new Float32Array(e.flat()), col=new Float32Array(24*3);
+ for(let i=0;i<24;i++){col[i*3]=r;col[i*3+1]=g;col[i*3+2]=b;}
+ return {v:v, c:col};}
+const frustumGeo=(()=>{ // dataset camera frustums (camera_frustum_renderer)
+ if(!META.frustums || !META.frustums.length) return null;
+ const v=[], col=[];
+ for(const fr of META.frustums){ // fr = 15 floats: eye, 4 image-plane corners
+  const E=fr.slice(0,3), C=[fr.slice(3,6),fr.slice(6,9),fr.slice(9,12),fr.slice(12,15)];
+  for(let k=0;k<4;k++){v.push(...E,...C[k]); v.push(...C[k],...C[(k+1)%4]);}
+  for(let k=0;k<16;k++)col.push(1.0,0.8,0.2);}
+ return {v:new Float32Array(v), c:new Float32Array(col)};})();
 
 // 16-bit counting sort over quantized view depth: O(N) per re-sort, scales
 // to millions of splats where Array.prototype.sort thrashes
@@ -225,9 +305,26 @@ function draw(){
  gl.uniform1f(gl.getUniformLocation(prog,"znear"),Math.max(dist-2.0*radius,0.05));
  gl.uniform1f(gl.getUniformLocation(prog,"zfar"),dist+2.0*radius);
  gl.uniform1f(gl.getUniformLocation(prog,"splitx"),0.5*w);
+ gl.uniform1i(gl.getUniformLocation(prog,"useCrop"),useCrop?1:0);
+ gl.uniform3f(gl.getUniformLocation(prog,"cropMin"),cropLo[0],cropLo[1],cropLo[2]);
+ gl.uniform3f(gl.getUniformLocation(prog,"cropMax"),cropHi[0],cropHi[1],cropHi[2]);
  gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
+ // overlays on top (the line program shares view/fx/fy/vp uniforms)
+ if(showAxes||showGrid||showFrustums||showCrop){
+  gl.useProgram(lprog);
+  gl.uniformMatrix4fv(gl.getUniformLocation(lprog,"view"),false,new Float32Array(V));
+  gl.uniform1f(gl.getUniformLocation(lprog,"fx"),f_px);
+  gl.uniform1f(gl.getUniformLocation(lprog,"fy"),f_px);
+  gl.uniform2f(gl.getUniformLocation(lprog,"vp"),w,h);
+  gl.useProgram(prog);
+  if(showGrid){const g0=gridLines();drawLines(g0.v,g0.c,0.5);}
+  if(showAxes){const a0=axesLines();drawLines(a0.v,a0.c,1.0);}
+  if(showFrustums&&frustumGeo)drawLines(frustumGeo.v,frustumGeo.c,0.8);
+  if(showCrop){const b0=boxLines(cropLo,cropHi,1.0,0.9,0.1);drawLines(b0.v,b0.c,1.0);}}
  frames++;const now=performance.now();
- if(now-lastT>500){hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | ${MODES[mode]} | drag orbit, shift-drag pan, wheel zoom, 1-4 mode`;frames=0;lastT=now;}
+ if(now-lastT>500){
+  const crop=showCrop?` | crop axis=${"XYZ"[cropAxis]}${useCrop?" ON":""} ([ ] { } faces, z axis, x apply, r reset)`:"";
+  hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | ${MODES[mode]} | drag orbit, shift-drag pan, wheel zoom, 1-4 mode, a axes, g grid, f cams, c crop${crop}`;frames=0;lastT=now;}
  requestAnimationFrame(draw);
 }
 requestAnimationFrame(draw);
@@ -257,15 +354,38 @@ def _cov3d_np(quat: np.ndarray, log_scale: np.ndarray) -> np.ndarray:
     return M @ M.transpose(0, 2, 1)
 
 
+def _frustum_lines(cameras, scale: float) -> list[list[float]]:
+    """Per-camera [eye xyz, 4 image-plane corner xyz] (15 floats) for the
+    viewer's frustum overlay (reference camera_frustum_renderer.cpp;
+    camera_frustum_scale default 0.25, rendering_manager.hpp:75)."""
+    out = []
+    for cam in cameras:
+        eye = np.asarray(cam.cam_position, np.float64)
+        c2w_r = np.asarray(cam.R, np.float64).T  # columns = cam axes in world
+        hx = np.tan(0.5 * cam.fov_x()) * scale
+        hy = np.tan(0.5 * cam.fov_y()) * scale
+        corners = []
+        for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+            p = eye + c2w_r @ np.array([sx * hx, sy * hy, scale])
+            corners.extend(float(v) for v in p)
+        out.append([float(v) for v in eye] + corners)
+    return out
+
+
 def export_html(
     splats,
     output: str | Path,
     max_points: int = 1_000_000,
     seed: int = 0,
+    cameras=None,
 ) -> Path:
     """Write a standalone interactive HTML viewer for the splat model.
     View-dependent color up to SH degree 1 (int8-quantized coefficients);
     `max_points` caps the embed size by opacity-weighted importance.
+    Overlay tools (crop box, axes, grid, camera frustums) mirror the
+    reference viewer's rendering settings (rendering_manager.hpp:49-75,
+    crop_box_panel.hpp:15-16); pass the dataset `cameras` to enable the
+    frustum overlay.
 
     Accepts a SplatData (device arrays; pulled to host once) or a host
     PointCloud — pass the latter when one is already materialized (e.g. the
@@ -317,11 +437,19 @@ def export_html(
 
     center = means.mean(axis=0)
     radius = float(np.percentile(np.linalg.norm(means - center, axis=1), 90))
+    # robust scene bounds for the crop-box tool (5-95 percentile per axis)
+    bbox_min = np.percentile(means, 5, axis=0)
+    bbox_max = np.percentile(means, 95, axis=0)
     meta = {
         "count": n,
         "center": [float(c) for c in center],
         "radius": max(radius, 1e-3),
         "sh1_scale": sh1_scale,
+        "bbox_min": [float(v) for v in bbox_min],
+        "bbox_max": [float(v) for v in bbox_max],
+        "frustums": _frustum_lines(cameras, 0.25 * max(radius, 1e-3))
+        if cameras
+        else [],
     }
 
     html = _HTML_TEMPLATE.replace("__META__", json.dumps(meta)).replace(

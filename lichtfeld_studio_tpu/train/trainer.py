@@ -548,7 +548,11 @@ class Trainer:
         try:
             from lichtfeld_studio_tpu.render.web_viewer import export_html
 
-            export_html(pc, self.output_dir / "viewer_live.html")
+            export_html(
+                pc,
+                self.output_dir / "viewer_live.html",
+                cameras=self.train_set.cameras[:64],
+            )
         except Exception as e:  # viewer export must never kill training
             print(f"[viewer] live export failed: {e}", flush=True)
         if self.params.optimization.save_sog:

@@ -58,6 +58,37 @@ def test_export_feature_surface(rng, tmp_path):
     assert "__META__" not in html and "__DATA__" not in html
 
 
+def test_export_overlay_tools(rng, tmp_path):
+    """Crop box / axes / grid / frustum overlays (reference
+    rendering_manager.hpp:49-75 + crop_box_panel.hpp:15-16)."""
+    from lichtfeld_studio_tpu.core.camera import look_at_camera
+
+    splats = make_random_splats(rng, n=80, capacity=128)
+    cams = [
+        look_at_camera(
+            np.array([2.0, 0.5, float(k)]), np.zeros(3), np.array([0.0, -1.0, 0.0]),
+            fx=60.0, fy=60.0, width=64, height=48,
+        )
+        for k in range(3)
+    ]
+    html = export_html(splats, tmp_path / "v.html", cameras=cams).read_text()
+    meta, _ = _extract(html)
+    # crop box bounds embedded and ordered
+    assert np.all(np.asarray(meta["bbox_min"]) <= np.asarray(meta["bbox_max"]))
+    # one frustum record (eye + 4 corners = 15 floats) per camera
+    assert len(meta["frustums"]) == 3
+    assert all(len(f) == 15 for f in meta["frustums"])
+    eye = np.asarray(meta["frustums"][1][:3])
+    np.testing.assert_allclose(eye, [2.0, 0.5, 1.0], atol=1e-5)
+    for needle in ["useCrop", "cropMin", "cropMax", "axesLines", "gridLines",
+                   "boxLines", "frustumGeo", "drawLines"]:
+        assert needle in html, needle
+    # no cameras -> overlay still compiles with an empty frustum list
+    html2 = export_html(splats, tmp_path / "v2.html").read_text()
+    meta2, _ = _extract(html2)
+    assert meta2["frustums"] == []
+
+
 def test_export_respects_max_points(rng, tmp_path):
     splats = make_random_splats(rng, n=200, capacity=256)
     html = export_html(splats, tmp_path / "v.html", max_points=64).read_text()
