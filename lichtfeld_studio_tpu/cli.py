@@ -256,12 +256,23 @@ def main(argv: list[str] | None = None) -> int:
         if not os.path.exists(params.ply_path):
             print(f"error: splat file not found: {params.ply_path}", file=sys.stderr)
             return 2
+        from lichtfeld_studio_tpu.render.headless import splats_from_ply
+
+        try:
+            splats = splats_from_ply(params.ply_path)
+        except Exception as e:  # corrupt / non-splat file: clean diagnostic,
+            # not a traceback (reference loader facade error propagation,
+            # src/loader/loader.cpp:19-80 std::expected path)
+            print(
+                f"error: could not load splat file {params.ply_path}: {e}",
+                file=sys.stderr,
+            )
+            return 2
         if str(args.render_output).endswith(".html"):
-            from lichtfeld_studio_tpu.render.headless import splats_from_ply
             from lichtfeld_studio_tpu.render.web_viewer import export_html
 
             out = export_html(
-                splats_from_ply(params.ply_path), args.render_output,
+                splats, args.render_output,
                 max_points=args.viewer_max_points,
             )
             print(f"interactive viewer written to {out} — open in any browser")
@@ -269,7 +280,7 @@ def main(argv: list[str] | None = None) -> int:
             from lichtfeld_studio_tpu.render.headless import render_ply_orbit
 
             render_ply_orbit(
-                params.ply_path, args.render_output,
+                splats, args.render_output,
                 width=args.render_size[0], height=args.render_size[1],
             )
         return 0

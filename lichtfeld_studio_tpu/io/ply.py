@@ -46,9 +46,14 @@ def write_ply(pc: PointCloud, path: str | Path) -> None:
 def read_ply(path: str | Path) -> PointCloud:
     """Read a 3DGS splat PLY (or a plain xyz/rgb point cloud)."""
     with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file (missing 'ply' magic)")
         header_lines = []
         while True:
-            line = f.readline().decode("ascii").strip()
+            raw = f.readline()
+            if not raw:  # EOF before end_header: corrupt/truncated header
+                raise ValueError(f"{path}: truncated PLY header (no end_header)")
+            line = raw.decode("ascii", errors="replace").strip()
             header_lines.append(line)
             if line == "end_header":
                 break

@@ -92,14 +92,18 @@ def splats_from_ply(path: str | Path, capacity: int | None = None) -> SplatData:
 
 
 def render_ply_orbit(
-    ply_path: str | Path,
+    splats_or_path: SplatData | str | Path,
     output: str = "render.png",
     n_frames: int = 1,
     width: int = 1920,
     height: int = 1080,
 ) -> None:
-    """Render one or more orbit views of a splat PLY to disk."""
-    splats = splats_from_ply(ply_path)
+    """Render one or more orbit views of a splat model (or .ply/.sog path)."""
+    splats = (
+        splats_or_path
+        if isinstance(splats_or_path, SplatData)
+        else splats_from_ply(splats_or_path)
+    )
     center = np.asarray(jnp.mean(splats.means[: int(splats.n_active)], axis=0))
     radius = 2.5 * splats.scene_scale
     out_path = Path(output)

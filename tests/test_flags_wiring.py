@@ -199,3 +199,28 @@ def test_events_emitted_during_training(tmp_path, rng):
     assert got["progress"] >= 1
     assert got["saved"] >= 1  # final save_ply
     assert got["done"] == 1
+
+
+def test_viewer_cli_corrupt_splat_clean_error(tmp_path, capsys):
+    """A corrupt -v file must produce a diagnostic + exit 2, not a traceback
+    (reference loader facade std::expected propagation, loader.cpp:19-80)."""
+    from lichtfeld_studio_tpu.cli import main
+
+    bad = tmp_path / "bad.ply"
+    bad.write_bytes(b"not a ply at all")
+    rc = main(["-v", str(bad), "--render-output", str(tmp_path / "x.html")])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "could not load splat file" in err
+
+    rc = main(["-v", str(tmp_path / "missing.ply"),
+               "--render-output", str(tmp_path / "x.html")])
+    assert rc == 2
+
+    # header without end_header used to spin forever in read_ply (EOF
+    # readline returns b"" which never matches) — must error out instead
+    trunc = tmp_path / "trunc.ply"
+    trunc.write_bytes(b"ply\nformat binary_little_endian 1.0\n")
+    rc = main(["-v", str(trunc), "--render-output", str(tmp_path / "x.html")])
+    assert rc == 2
+    assert "truncated PLY header" in capsys.readouterr().err
