@@ -232,6 +232,7 @@ def _forward_kernel(
     tile_size: int,
     aligned: bool,
     exact_alpha: bool = True,
+    freeze: bool = True,
     chunk: int = CHUNK,
 ):
     n_pix = tile_size * tile_size
@@ -304,11 +305,22 @@ def _forward_kernel(
         )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
-        p_incl = t_run * prod_incl
-        counted = p_incl >= TRANSMITTANCE_THRESHOLD
         # exclusive product = inclusive shifted down one row (leading 1)
         t_before = t_run * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
-        w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
+        if freeze:
+            # reference done-flag semantics: the counted set is the strict
+            # per-pixel prefix with transmittance >= the threshold; T freezes
+            # at the last counted contribution.
+            p_incl = t_run * prod_incl
+            counted = p_incl >= TRANSMITTANCE_THRESHOLD
+            w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
+        else:
+            # inference: skip the per-pixel freeze bookkeeping (~5 VPU passes
+            # per chunk). Post-crossing contributions carry weight < 1e-4 —
+            # under the viewer's 1/255 quantization step — and T decays
+            # monotonically below the threshold instead of freezing at it
+            # (|alpha_out error| < 1e-4). Tile-level early exit is unchanged.
+            w = t_before * alpha  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
         # colors are exactly bf16 by construction, so splitting only w gives
@@ -321,12 +333,18 @@ def _forward_kernel(
         )
         acc = acc + dotc(colors, w_hi) + dotc(colors, w_lo)  # [4, P]
 
-        t_fin = jnp.min(
-            jnp.where(counted, p_incl, jnp.broadcast_to(t_fin, p_incl.shape)),
-            axis=0,
-            keepdims=True,
-        )
-        return ci + 1, p_incl[chunk - 1 : chunk, :], t_fin, acc
+        if freeze:
+            t_fin = jnp.min(
+                jnp.where(counted, p_incl, jnp.broadcast_to(t_fin, p_incl.shape)),
+                axis=0,
+                keepdims=True,
+            )
+            t_last = p_incl[chunk - 1 : chunk, :]
+        else:
+            # unfrozen: T after this chunk is the carry itself
+            t_last = t_run * prod_incl[chunk - 1 : chunk, :]
+            t_fin = t_last
+        return ci + 1, t_last, t_fin, acc
 
     ci_end, _, t_final, acc = jax.lax.while_loop(
         cond,
@@ -505,19 +523,21 @@ def _backward_kernel(
         wcg = w * cg
         a_incl = a_run + _prefix_sum_rows(wcg)  # [CHUNK, P] inclusive A_i
 
-        # dalpha only feeds gradients where `live` (below) — rows outside
-        # `counted` may hold garbage here, the select after zeroes them.
+        # d(loss)/d(sigma2) = -alpha * dalpha with
+        #   dalpha = t_before*cg - (r0 - a_incl)/(1-alpha)
+        # expanded so the first term reuses wcg (w == t_before*alpha within
+        # `counted`, and `live` below is a subset of `counted`):
+        #   u = alpha/(1-alpha) * (r0 - a_incl) - wcg
+        # — two fewer [CHUNK, P] passes than forming dalpha then scaling.
         # T_final = prod(1-a): dT/da_i = -T/(1-a_i), folded into r0.
         # No epsilon guard: alpha is clamped at MAX_FRAGMENT_ALPHA=0.999
         # (or masked to 0), so 1-alpha >= 1e-3 always.
-        dalpha = t_before * cg - (r0 - a_incl) / (1.0 - alpha)  # [CHUNK, P]
-
-        # chain into geometry (zero where clamped at 0.999 or skipped):
-        # s > -log(0.999) <=> alpha_raw < 0.999 (the clamp gate). No
-        # explicit alpha > 0 mask — masked lanes have alpha == 0 exactly and
-        # dalpha finite there (1-alpha == 1), so the final multiply zeroes u.
+        # `live` zeroes rows clamped at 0.999 (s > -log(0.999) <=> alpha_raw
+        # < 0.999, the clamp gate) and rows outside the counted prefix.
         live = (s > -_LOG_MAX_FRAGMENT) & counted
-        u = jnp.where(live, dalpha, 0.0) * (-alpha)  # d(loss)/d(sigma2)
+        u = jnp.where(
+            live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
+        )  # d(loss)/d(sigma2)
 
         # --- geometry gradients via ONE moment matmul ---------------------
         # dx = mx - px is separable, so every per-pixel reduction
@@ -661,12 +681,12 @@ def _pack8_t(packed16_t: jax.Array) -> jax.Array:
 
 
 def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
-                  aligned=True, exact_alpha=True, chunk=CHUNK):
+                  aligned=True, exact_alpha=True, freeze=True, chunk=CHUNK):
     num_tiles = grid_w * grid_h
     n_pix = tile_size * tile_size
     kernel = functools.partial(
         _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
-        exact_alpha=exact_alpha, chunk=chunk,
+        exact_alpha=exact_alpha, freeze=freeze, chunk=chunk,
     )
     return pl.pallas_call(
         kernel,
@@ -743,14 +763,14 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     return dfeat_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _blend_gathered(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-    grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha,
+    grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
 ):
     out, _ = _blend_gathered_fwd(
         packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
-        grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha,
+        grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
     )
     return out
 
@@ -769,6 +789,7 @@ def _gather_stream(packed16_t, g_pad, valid):
 def _blend_gathered_fwd(
     packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha=True,
+    freeze=True,
 ):
     # layout_chunk == 1 is the compact (inference) layout: the forward
     # kernel handles unaligned tile starts with half-size chunks (boundary
@@ -780,14 +801,14 @@ def _blend_gathered_fwd(
     feat_t = _gather_stream(packed16_t, g_pad, valid)
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
-        aligned=aligned, exact_alpha=exact_alpha,
+        aligned=aligned, exact_alpha=exact_alpha, freeze=freeze,
         chunk=layout_chunk if aligned else CHUNK // 2,
     )
     return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
 
 
 def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
-                        exact_alpha, res, g_out):
+                        exact_alpha, freeze, res, g_out):
     """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
     per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
@@ -831,11 +852,14 @@ def blend_pallas_fused(
     tile_size: int = 16,
     n_channels: int = 3,
     exact_alpha: bool = True,
+    freeze: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather + Pallas blend fused behind one custom VJP.
     Returns (image [grid_h*ts, grid_w*ts, C], alpha [grid_h*ts, grid_w*ts]).
     exact_alpha=False (inference) evaluates sigma2 with the 3-pass bf16
-    split (~1e-3 worst-case alpha error, under the viewer's 1/255 step)."""
+    split (~1e-3 worst-case alpha error, under the viewer's 1/255 step).
+    freeze=False (inference only — NEVER differentiate) drops the per-pixel
+    transmittance-freeze bookkeeping; see _forward_kernel."""
     out = _blend_gathered(
         packed16_t,
         assignment.gaussian_idx,
@@ -849,6 +873,7 @@ def blend_pallas_fused(
         assignment.source_cap,
         assignment.chunk,  # 1 = compact (inference) layout -> unaligned fwd
         exact_alpha,
+        freeze,
     )
     ts = tile_size
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)

@@ -282,6 +282,11 @@ def rasterize(
                 # separate [CHUNK,P] matmuls + two adds vs one fused op),
                 # so the inference path gains nothing from the looser math
                 exact_alpha=True,
+                # inference drops the per-pixel transmittance freeze (error
+                # < 1e-4 in alpha, under the viewer's u8 step); training
+                # keeps reference done-flag semantics for the loss and the
+                # compiled-parity gate
+                freeze=not inference,
             )
         else:
             assignment = build_tile_assignment(

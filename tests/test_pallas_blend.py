@@ -125,6 +125,9 @@ def test_pallas_inference_layout_matches_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(out_p.image), np.asarray(out_o.image), atol=4e-3
     )
+    # inference drops the per-pixel transmittance freeze (freeze=False):
+    # alpha may keep decaying past the 1e-4 threshold instead of freezing
+    # at it, so the bound is TRANSMITTANCE_THRESHOLD, not exactness
     np.testing.assert_allclose(
-        np.asarray(out_p.alpha), np.asarray(out_o.alpha), atol=5e-5
+        np.asarray(out_p.alpha), np.asarray(out_o.alpha), atol=1.5e-4
     )
