@@ -49,7 +49,15 @@ from lichtfeld_studio_tpu.ops.projection import (
     TRANSMITTANCE_THRESHOLD,
 )
 
-CHUNK = 256  # instances per streamed slice
+import os as _os
+
+# instances per streamed slice; the compact (unaligned) layout streams
+# CHUNK//2-wide chunks. Overridable for tuning sweeps (tools/profile_blend).
+CHUNK = int(_os.environ.get("LFS_BLEND_CHUNK", "256"))
+IN_SLOTS = 4  # input-stream prefetch depth (kernels are DMA-latency bound:
+#   a chunk's 4 KB strided copy takes ~2x the chunk's compute, so the wait
+#   must land IN_SLOTS-1 compute bodies after the start, not 1)
+OUT_SLOTS = 4  # backward writeback rotation depth
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
 # backward per-instance gradient rows: 0-5 geometry (FULL f32 — an
 # all-bf16-pairs variant measured 0.3 dB PSNR loss on the 2k-iter selfcheck,
@@ -113,8 +121,13 @@ def _tile_basis(tile_idx, grid_w: int, tile_size: int, n_pix: int):
     return basis, cx, cy
 
 
-_LOG_MIN_ALPHA = math.log(MIN_ALPHA_THRESHOLD)  # = -log(255)
-_LOG_MAX_FRAGMENT = math.log(MAX_FRAGMENT_ALPHA)
+# all sigma2 thresholds live in LOG2 units: the alpha matmul folds 1/ln2 into
+# its per-instance coefficients so alpha = exp2(-s) needs no scale pass (exp
+# on TPU is exp2 plus a multiply; the multiply moves into [CHUNK]-wide
+# coefficient work, 1/P the cost)
+_LOG2_MIN_ALPHA = math.log2(MIN_ALPHA_THRESHOLD)  # = -log2(255)
+_LOG2_MAX_FRAGMENT = math.log2(MAX_FRAGMENT_ALPHA)
+_INV_LN2 = 1.0 / math.log(2.0)
 
 
 def _bf16_split(x):
@@ -150,20 +163,25 @@ def _alpha_mxu(feat_s, basis, cx, cy, in_range, exact=True):
     sigma2(px, py) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2 (dx = mx - px) is a
     quadratic polynomial in tile-centered pixel coords, so sigma2 = Q . B with
     per-instance coefficients Q[6, CHUNK] (VPU work on [CHUNK]-wide vectors
-    only) and the shared basis B[6, P]. log(opacity) is folded into the
-    constant term, making s = sigma2 - log(op) and alpha_raw = exp(-s); the
-    reference skip masks become threshold compares on s:
-      sigma2 >= 0            <=>  s >= -log(op)
-      alpha_raw >= 1/255     <=>  s <= log(255)
-      alpha_raw < 0.999      <=>  s > -log(0.999)   (backward clamp gate)
-    Returns (alpha, s, nlog_op_col) — backward recovers its masks from s."""
+    only) and the shared basis B[6, P]. log2(opacity) is folded into the
+    constant term and ALL coefficients carry a 1/ln2 factor, so
+    s = (sigma2 - log(op))/ln2 and alpha_raw = exp2(-s) — the exp's hidden
+    log2(e) multiply moves into [CHUNK]-wide coefficient work. The reference
+    skip masks become threshold compares on s (log2 units):
+      sigma2 >= 0            <=>  s >= -log2(op)
+      alpha_raw >= 1/255     <=>  s <= log2(255)
+      alpha_raw < 0.999      <=>  s > -log2(0.999)   (backward clamp gate)
+    Returns (alpha, s, nlog2_op_col) — backward recovers its masks from s.
+    NOTE: gradients stay in NATURAL units — the backward's u is computed
+    from alpha and the cotangents directly (u = dL/d sigma2_natural), never
+    from s, so the log2 scaling never leaks into the gradient algebra."""
     mxc = feat_s[0, :] - cx  # [CHUNK] tile-centered mean
     myc = feat_s[1, :] - cy
-    ca = feat_s[2, :]
-    cb = feat_s[3, :]
-    cc = feat_s[4, :]
+    ca = feat_s[2, :] * _INV_LN2
+    cb = feat_s[3, :] * _INV_LN2
+    cc = feat_s[4, :] * _INV_LN2
     op = feat_s[5, :]
-    nlog_op = -jnp.log(jnp.maximum(op, 1e-12))  # >= 0
+    nlog_op = -jnp.log2(jnp.maximum(op, 1e-12))  # >= 0, log2 units
     q0 = 0.5 * (ca * mxc * mxc + cc * myc * myc) + cb * mxc * myc + nlog_op
     # out-of-range lanes fold into the constant term ([CHUNK]-sized select)
     # instead of a [CHUNK, P] mask pass: s ~ 1e10 makes exp(-s) underflow to
@@ -188,8 +206,8 @@ def _alpha_mxu(feat_s, basis, cx, cy, in_range, exact=True):
         # gradient noise; mask flips only at negligible-weight boundaries)
         s = _dot3(q, basis, dims)  # [CHUNK, P]
     nlog_op_col = nlog_op[:, None]
-    alpha = jnp.minimum(jnp.exp(-s), MAX_FRAGMENT_ALPHA)
-    keep = (s >= nlog_op_col) & (s <= -_LOG_MIN_ALPHA)
+    alpha = jnp.minimum(jnp.exp2(-s), MAX_FRAGMENT_ALPHA)
+    keep = (s >= nlog_op_col) & (s <= -_LOG2_MIN_ALPHA)
     return jnp.where(keep, alpha, 0.0), s, nlog_op_col
 
 
@@ -225,8 +243,8 @@ def _forward_kernel(
     tile_count_ref,
     feat_hbm,  # [8, I+pad] ANY/HBM (colors bf16-packed in rows 6-7)
     out_ref,  # [1, 8, P] VMEM
-    feat_s,  # scratch [2, 8, CHUNK] VMEM
-    sem,  # DMA semaphores (2,)
+    feat_s,  # scratch [IN_SLOTS, 8, CHUNK] VMEM
+    sem,  # DMA semaphores (IN_SLOTS,)
     *,
     grid_w: int,
     tile_size: int,
@@ -262,14 +280,20 @@ def _forward_kernel(
             sem.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
+    # PREFETCH DEPTH: the kernel is DMA-LATENCY bound, not VPU bound
+    # (measured by ablation: deleting the prefix scan or the exp2 changes
+    # nothing; per-chunk wall ~2.6 us vs ~1 us of compute). With double
+    # buffering the copy for chunk ci is only one body of compute old when
+    # waited on; with IN_SLOTS-deep rotation it is IN_SLOTS-1 bodies old.
+    for k in range(IN_SLOTS - 1):
+        @pl.when(k < n_chunks)
+        def _(k=k):
+            dma(k, k).start()
 
     def cond(carry):
         # t_run is monotone non-increasing, so this terminates as soon as
         # every pixel in the tile saturates (the reference's `done` ballot)
-        ci, t_run, _, _ = carry
+        ci, t_run, _ = carry
         return (ci < n_chunks) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
 
     def body(carry):
@@ -279,14 +303,19 @@ def _forward_kernel(
         # done-flag semantics; the frozen-carry formulation could re-admit
         # post-crossing contributions AND never tripped the cond's
         # early-exit because the frozen value stays >= the threshold).
-        # t_fin [1, P]: transmittance after the last counted contribution —
-        # the kernel's alpha output, frozen exactly like the reference's T.
-        ci, t_run, t_fin, acc = carry
-        slot = ci % 2
+        # The FROZEN transmittance (T after the last counted contribution,
+        # the kernel's alpha output) is NOT tracked per chunk: the weights
+        # telescope — w_i = t_before_i - p_incl_i with t_before_{i+1} ==
+        # p_incl_i — so sum(counted w) == 1 - T_frozen EXACTLY, and a row of
+        # ones in the color matmul accumulates it for free on the MXU. This
+        # deletes the old per-chunk freeze bookkeeping (select + min-reduce
+        # + broadcast, ~3 VPU passes) and one carry array.
+        ci, t_run, acc = carry
+        slot = ci % IN_SLOTS
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + IN_SLOTS - 1 < n_chunks)
         def _():
-            dma((ci + 1) % 2, ci + 1).start()
+            dma((ci + IN_SLOTS - 1) % IN_SLOTS, ci + IN_SLOTS - 1).start()
 
         dma(slot, ci).wait()
         f = feat_s[slot]  # [8, CHUNK]
@@ -305,66 +334,61 @@ def _forward_kernel(
         )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
-        # exclusive product = inclusive shifted down one row (leading 1)
-        t_before = t_run * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
+        p_incl = t_run * prod_incl
+        # exclusive chain = inclusive shifted down one row, seeded by the
+        # carry — ONE copy instead of a pad-shift plus a multiply
+        t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
+        # w = t_before * alpha, computed as the telescoping difference
+        # (exact in real arithmetic; float error ~eps/alpha_min ~ 2e-5 rel)
         if freeze:
             # reference done-flag semantics: the counted set is the strict
-            # per-pixel prefix with transmittance >= the threshold; T freezes
-            # at the last counted contribution.
-            p_incl = t_run * prod_incl
+            # per-pixel prefix with transmittance >= the threshold
             counted = p_incl >= TRANSMITTANCE_THRESHOLD
-            w = jnp.where(counted, t_before * alpha, 0.0)  # [CHUNK, P]
+            w = jnp.where(counted, t_before - p_incl, 0.0)  # [CHUNK, P]
         else:
-            # inference: skip the per-pixel freeze bookkeeping (~5 VPU passes
-            # per chunk). Post-crossing contributions carry weight < 1e-4 —
-            # under the viewer's 1/255 quantization step — and T decays
-            # monotonically below the threshold instead of freezing at it
-            # (|alpha_out error| < 1e-4). Tile-level early exit is unchanged.
-            w = t_before * alpha  # [CHUNK, P]
+            # inference: skip the freeze cut — post-crossing contributions
+            # carry weight < 1e-4, under the viewer's u8 step
+            w = t_before - p_incl  # [CHUNK, P]
 
         colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
-        # colors are exactly bf16 by construction, so splitting only w gives
-        # an f32-faithful image in TWO single-pass matmuls (vs 6 at HIGHEST)
+        # row 4 = ones: accumulates sum(w) -> frozen T = 1 - acc[4]
+        colors5 = jnp.concatenate(
+            [colors, jnp.ones((1, chunk), jnp.float32)], axis=0
+        )  # [5, CHUNK]
+        # colors are exactly bf16 by construction (and the ones row exactly),
+        # so splitting only w gives an f32-faithful image in TWO single-pass
+        # matmuls (vs 6 at HIGHEST)
         w_hi, w_lo = _bf16_split(w)
         dotc = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + dotc(colors, w_hi) + dotc(colors, w_lo)  # [4, P]
+        acc = acc + dotc(colors5, w_hi) + dotc(colors5, w_lo)  # [5, P]
 
-        if freeze:
-            t_fin = jnp.min(
-                jnp.where(counted, p_incl, jnp.broadcast_to(t_fin, p_incl.shape)),
-                axis=0,
-                keepdims=True,
-            )
-            t_last = p_incl[chunk - 1 : chunk, :]
-        else:
-            # unfrozen: T after this chunk is the carry itself
-            t_last = t_run * prod_incl[chunk - 1 : chunk, :]
-            t_fin = t_last
-        return ci + 1, t_last, t_fin, acc
+        t_last = p_incl[chunk - 1 : chunk, :]
+        return ci + 1, t_last, acc
 
-    ci_end, _, t_final, acc = jax.lax.while_loop(
+    ci_end, _, acc = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(0, jnp.int32),
             jnp.ones((1, n_pix), jnp.float32),
-            jnp.ones((1, n_pix), jnp.float32),
-            jnp.zeros((4, n_pix), jnp.float32),
+            jnp.zeros((5, n_pix), jnp.float32),
         ),
     )
 
-    # early exit leaves the next chunk's prefetch in flight — consume it or
-    # the DMA semaphore is imbalanced at program end (device-fatal)
-    @pl.when(ci_end < n_chunks)
-    def _():
-        dma(ci_end % 2, ci_end).wait()
+    # early exit leaves up to IN_SLOTS-1 prefetches in flight — consume them
+    # or the DMA semaphores are imbalanced at program end (device-fatal)
+    for j in range(IN_SLOTS - 1):
+        @pl.when(ci_end + j < n_chunks)
+        def _(j=j):
+            dma((ci_end + j) % IN_SLOTS, ci_end + j).wait()
 
-    out_ref[0, 0:4, :] = acc
-    out_ref[0, 4, :] = t_final[0]
+    out_ref[0, 0:4, :] = acc[0:4]
+    # telescoped frozen transmittance: T = 1 - sum(counted weights)
+    out_ref[0, 4, :] = 1.0 - acc[4]
     out_ref[0, 5:8, :] = jnp.zeros((3, n_pix), jnp.float32)
 
 
@@ -375,11 +399,11 @@ def _backward_kernel(
     gout_ref,  # [1, 8, P] VMEM — cotangents (rows 0-3 channels, row 4 T_final)
     tfin_ref,  # [1, 1, P] VMEM — forward T_final
     dfeat_hbm,  # out [GRAD_ROWS, I+pad] ANY (bf16 pairs)
-    feat_s,  # scratch [2, 8, CHUNK]
-    dfeat_s,  # scratch [2, GRAD_ROWS, CHUNK] (double-buffered writeback)
+    feat_s,  # scratch [IN_SLOTS, 8, CHUNK]
+    dfeat_s,  # scratch [OUT_SLOTS, GRAD_ROWS, CHUNK] (rotated writeback)
     head_s,  # scratch [GRAD_ROWS, CHUNK] — boundary-chunk merge (unaligned)
-    sem,  # (2,) DMA semaphores
-    outsem,  # (2,) DMA semaphores for writeback
+    sem,  # (IN_SLOTS,) DMA semaphores
+    outsem,  # (OUT_SLOTS,) DMA semaphores for writeback
     headsem,  # DMA semaphore for the boundary read
     *,
     grid_w: int,
@@ -437,9 +461,14 @@ def _backward_kernel(
             dfeat_hbm.at[:, pl.ds(base, chunk)], head_s, headsem
         )
 
+    # IN_SLOTS-deep input prefetch (DMA-latency bound, see forward kernel)
+    for k in range(IN_SLOTS - 1):
+        @pl.when(k < n_chunks)
+        def _(k=k):
+            dma_in(k, k).start()
+
     @pl.when(n_chunks > 0)
     def _():
-        dma_in(0, 0).start()
         if not aligned:
             dma_head_read().start()
 
@@ -472,11 +501,11 @@ def _backward_kernel(
         # keeps the replayed counted set a strict prefix, identical to the
         # forward's. a_run [1, P]: cumulative sum w*cg so far.
         ci, t_run, a_run = carry
-        slot = ci % 2
+        slot = ci % IN_SLOTS
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + IN_SLOTS - 1 < n_chunks)
         def _():
-            dma_in((ci + 1) % 2, ci + 1).start()
+            dma_in((ci + IN_SLOTS - 1) % IN_SLOTS, ci + IN_SLOTS - 1).start()
 
         dma_in(slot, ci).wait()
         f = feat_s[slot]
@@ -495,8 +524,10 @@ def _backward_kernel(
         prod_incl = _prefix_prod_rows(1.0 - alpha)
         p_incl = t_run * prod_incl
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        t_before = t_run * jnp.pad(prod_incl, ((1, 0), (0, 0)), constant_values=1.0)[:chunk]
-        w = jnp.where(counted, t_before * alpha, 0.0)
+        # exclusive chain = inclusive shifted one row, seeded by the carry —
+        # one copy instead of pad-shift + multiply (mirrors the forward)
+        t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
+        w = jnp.where(counted, t_before - p_incl, 0.0)
 
         raw_colors = _unpack_colors(f)  # [4, CHUNK]
         colors = jnp.maximum(raw_colors, 0.0)
@@ -534,7 +565,7 @@ def _backward_kernel(
         # (or masked to 0), so 1-alpha >= 1e-3 always.
         # `live` zeroes rows clamped at 0.999 (s > -log(0.999) <=> alpha_raw
         # < 0.999, the clamp gate) and rows outside the counted prefix.
-        live = (s > -_LOG_MAX_FRAGMENT) & counted
+        live = (s > -_LOG2_MAX_FRAGMENT) & counted
         u = jnp.where(
             live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
         )  # d(loss)/d(sigma2)
@@ -580,13 +611,13 @@ def _backward_kernel(
         d_cc = 0.5 * (myc * myc * s0 - 2.0 * myc * sy + syy)
         d_op = -s0 / jnp.maximum(op, 1e-12)
 
-        # double-buffered writeback: reclaim this slot's previous copy, fill,
-        # start — the DMA overlaps the next chunk's compute
-        oslot = ci % 2
+        # OUT_SLOTS-rotated writeback: reclaim this slot's previous copy,
+        # fill, start — each copy gets OUT_SLOTS-1 compute bodies to finish
+        oslot = ci % OUT_SLOTS
 
-        @pl.when(ci >= 2)
+        @pl.when(ci >= OUT_SLOTS)
         def _():
-            dma_out(oslot, ci - 2).wait()
+            dma_out(oslot, ci - OUT_SLOTS).wait()
 
         dfeat_s[oslot, 0:6, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op])
         dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
@@ -622,20 +653,21 @@ def _backward_kernel(
         ),
     )
 
-    # early exit leaves the next chunk's input prefetch in flight — consume
-    # it or the DMA semaphore is imbalanced at program end (device-fatal)
-    @pl.when(ci_end < n_chunks)
-    def _():
-        dma_in(ci_end % 2, ci_end).wait()
+    # early exit leaves up to IN_SLOTS-1 input prefetches in flight —
+    # consume them or the DMA semaphores are imbalanced (device-fatal)
+    for j in range(IN_SLOTS - 1):
+        @pl.when(ci_end + j < n_chunks)
+        def _(j=j):
+            dma_in((ci_end + j) % IN_SLOTS, ci_end + j).wait()
 
     # Zero-fill gradient chunks skipped by early termination (the output HBM
     # buffer is uninitialized memory otherwise), continuing the slot rotation.
     def zbody(ci):
-        oslot = ci % 2
+        oslot = ci % OUT_SLOTS
 
-        @pl.when(ci >= 2)
+        @pl.when(ci >= OUT_SLOTS)
         def _():
-            dma_out(oslot, ci - 2).wait()
+            dma_out(oslot, ci - OUT_SLOTS).wait()
 
         dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS_BUF, chunk), jnp.float32)
         dma_out(oslot, ci).start()
@@ -644,13 +676,10 @@ def _backward_kernel(
     jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, ci_end)
 
     # drain outstanding writebacks before the program ends
-    @pl.when(n_chunks >= 1)
-    def _():
-        dma_out((n_chunks - 1) % 2, n_chunks - 1).wait()
-
-    @pl.when(n_chunks >= 2)
-    def _():
-        dma_out((n_chunks - 2) % 2, n_chunks - 2).wait()
+    for j in range(1, OUT_SLOTS + 1):
+        @pl.when(n_chunks >= j)
+        def _(j=j):
+            dma_out((n_chunks - j) % OUT_SLOTS, n_chunks - j).wait()
 
 
 def _pad_feat(feat: jax.Array) -> jax.Array:
@@ -698,8 +727,8 @@ def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
                 (1, OUT_ROWS, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS_IN, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((IN_SLOTS, FEAT_ROWS_IN, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((IN_SLOTS,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, n_pix), jnp.float32),
@@ -742,11 +771,11 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT_ROWS_IN, chunk), jnp.float32),
-                pltpu.VMEM((2, GRAD_ROWS_BUF, chunk), jnp.float32),
+                pltpu.VMEM((IN_SLOTS, FEAT_ROWS_IN, chunk), jnp.float32),
+                pltpu.VMEM((OUT_SLOTS, GRAD_ROWS_BUF, chunk), jnp.float32),
                 pltpu.VMEM((GRAD_ROWS_BUF, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((IN_SLOTS,)),
+                pltpu.SemaphoreType.DMA((OUT_SLOTS,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
