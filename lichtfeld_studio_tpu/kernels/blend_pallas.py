@@ -355,16 +355,23 @@ def _forward_kernel(
         colors5 = jnp.concatenate(
             [colors, jnp.ones((1, chunk), jnp.float32)], axis=0
         )  # [5, CHUNK]
-        # colors are exactly bf16 by construction (and the ones row exactly),
-        # so splitting only w gives an f32-faithful image in TWO single-pass
-        # matmuls (vs 6 at HIGHEST)
-        w_hi, w_lo = _bf16_split(w)
         dotc = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + dotc(colors5, w_hi) + dotc(colors5, w_lo)  # [5, P]
+        if freeze:
+            # colors are exactly bf16 by construction (and the ones row
+            # exactly), so splitting only w gives an f32-faithful image in
+            # TWO single-pass matmuls (vs 6 at HIGHEST)
+            w_hi, w_lo = _bf16_split(w)
+            acc = acc + dotc(colors5, w_hi) + dotc(colors5, w_lo)  # [5, P]
+        else:
+            # inference: ONE default-precision pass — w's bf16 truncation is
+            # a 2^-9 relative rounding on each weight, the same order as the
+            # viewer's u8 quantization step (1/255); drops a matmul and the
+            # 2-pass split per chunk
+            acc = acc + dotc(colors5, w)  # [5, P]
 
         t_last = p_incl[chunk - 1 : chunk, :]
         return ci + 1, t_last, acc
