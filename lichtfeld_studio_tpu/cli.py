@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
+from pathlib import Path
 
 from lichtfeld_studio_tpu.config.parameters import (
     DatasetConfig,
@@ -107,7 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default="",
                    help="resume from a state snapshot directory")
     # viewer / render
-    p.add_argument("-v", "--view", type=str, default="", help="render a PLY headlessly")
+    p.add_argument("-v", "--view", type=str, default="",
+                   help="render splat file(s) headlessly; comma-separate "
+                        "multiple .ply/.sog for a multi-model scene "
+                        "(composite render / viewer with visibility toggles)")
     p.add_argument("--render-output", type=str, default="render.png")
     p.add_argument(
         "--render-size", type=int, nargs=2, default=[1920, 1080],
@@ -253,32 +257,46 @@ def main(argv: list[str] | None = None) -> int:
     if params.ply_path:  # headless render / interactive viewer export
         import os
 
-        if not os.path.exists(params.ply_path):
-            print(f"error: splat file not found: {params.ply_path}", file=sys.stderr)
-            return 2
+        # comma-separated paths = multi-model scene (the reference
+        # SceneManager loads multiple PLYs into one scene graph,
+        # src/visualizer/scene/scene_manager.cpp)
+        paths = [p for p in str(params.ply_path).split(",") if p]
+        for p_ in paths:
+            if not os.path.exists(p_):
+                print(f"error: splat file not found: {p_}", file=sys.stderr)
+                return 2
         from lichtfeld_studio_tpu.render.headless import splats_from_ply
 
-        try:
-            splats = splats_from_ply(params.ply_path)
-        except Exception as e:  # corrupt / non-splat file: clean diagnostic,
-            # not a traceback (reference loader facade error propagation,
-            # src/loader/loader.cpp:19-80 std::expected path)
-            print(
-                f"error: could not load splat file {params.ply_path}: {e}",
-                file=sys.stderr,
-            )
-            return 2
+        named = []
+        for p_ in paths:
+            try:
+                named.append((Path(p_).stem, splats_from_ply(p_)))
+            except Exception as e:  # corrupt / non-splat file: clean
+                # diagnostic, not a traceback (reference loader facade error
+                # propagation, src/loader/loader.cpp:19-80 std::expected)
+                print(
+                    f"error: could not load splat file {p_}: {e}",
+                    file=sys.stderr,
+                )
+                return 2
         if str(args.render_output).endswith(".html"):
             from lichtfeld_studio_tpu.render.web_viewer import export_html
 
             out = export_html(
-                splats, args.render_output,
+                named if len(named) > 1 else named[0][1],
+                args.render_output,
                 max_points=args.viewer_max_points,
             )
             print(f"interactive viewer written to {out} — open in any browser")
         else:
-            from lichtfeld_studio_tpu.render.headless import render_ply_orbit
+            from lichtfeld_studio_tpu.render.headless import (
+                concat_splats,
+                render_ply_orbit,
+            )
 
+            splats = named[0][1] if len(named) == 1 else concat_splats(
+                [s for _, s in named]
+            )
             render_ply_orbit(
                 splats, args.render_output,
                 width=args.render_size[0], height=args.render_size[1],

@@ -91,6 +91,35 @@ def splats_from_ply(path: str | Path, capacity: int | None = None) -> SplatData:
     )
 
 
+def concat_splats(models: list[SplatData]) -> SplatData:
+    """Concatenate several splat models into one composite scene (the
+    headless analogue of the reference SceneManager's multi-PLY scene graph,
+    src/visualizer/scene/scene_manager.cpp — rendering composes all visible
+    nodes into one draw)."""
+    assert models, "concat_splats needs at least one model"
+    if len(models) == 1:
+        return models[0]
+    pcs = [m.to_point_cloud() for m in models]
+    max_k = max(pc.shN.shape[1] for pc in pcs)
+
+    def pad_sh(x):
+        if x.shape[1] == max_k:
+            return x
+        out = np.zeros((x.shape[0], max_k, 3), np.float32)
+        out[:, : x.shape[1]] = x
+        return out
+
+    return SplatData.from_arrays(
+        np.concatenate([pc.means for pc in pcs]),
+        np.concatenate([pc.sh0 for pc in pcs]),
+        np.concatenate([pad_sh(pc.shN) for pc in pcs]),
+        np.concatenate([pc.scaling for pc in pcs]),
+        np.concatenate([pc.rotation for pc in pcs]),
+        np.concatenate([pc.opacity for pc in pcs]),
+        scene_scale=max(float(m.scene_scale) for m in models),
+    )
+
+
 def render_ply_orbit(
     splats_or_path: SplatData | str | Path,
     output: str = "render.png",

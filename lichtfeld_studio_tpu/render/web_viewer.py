@@ -30,8 +30,11 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
  html,body{margin:0;height:100%;overflow:hidden;background:#111;font-family:monospace}
  #c{width:100%;height:100%;display:block}
  #hud{position:fixed;top:8px;left:10px;color:#9f9;font-size:12px;user-select:none}
+ #scene{position:fixed;top:8px;right:10px;color:#ddd;font-size:12px;background:#0008;
+   padding:6px 10px;border-radius:4px;user-select:none}
+ #scene label{display:block;cursor:pointer}
 </style></head>
-<body><canvas id="c"></canvas><div id="hud"></div>
+<body><canvas id="c"></canvas><div id="hud"></div><div id="scene"></div>
 <script>
 "use strict";
 const META = __META__;
@@ -234,6 +237,20 @@ const frustumGeo=(()=>{ // dataset camera frustums (camera_frustum_renderer)
   for(let k=0;k<16;k++)col.push(1.0,0.8,0.2);}
  return {v:new Float32Array(v), c:new Float32Array(col)};})();
 
+// scene graph: per-model visibility (reference SceneManager node toggles,
+// src/visualizer/scene/) — hidden models drop out of the sort entirely
+const MODELS=META.models&&META.models.length?META.models:[{name:"model",start:0,count:N}];
+const modelOf=new Uint8Array(N);
+MODELS.forEach((m,mi)=>{modelOf.fill(mi,m.start,m.start+m.count);});
+const visible=MODELS.map(()=>true);
+let drawCount=N;
+if(MODELS.length>1){const panel=document.getElementById("scene");
+ MODELS.forEach((m,mi)=>{const l=document.createElement("label");
+  const cb=document.createElement("input");cb.type="checkbox";cb.checked=true;
+  cb.onchange=()=>{visible[mi]=cb.checked;lastDir=[9,9,9];};
+  l.appendChild(cb);l.appendChild(document.createTextNode(` ${m.name} (${m.count})`));
+  panel.appendChild(l);});}
+
 // 16-bit counting sort over quantized view depth: O(N) per re-sort, scales
 // to millions of splats where Array.prototype.sort thrashes
 const order=new Uint32Array(N), keys=new Uint16Array(N), hist=new Uint32Array(65537);
@@ -245,11 +262,13 @@ function resort(R){
  for(let i=0;i<N;i++){const z=zx*pos[i*3]+zy*pos[i*3+1]+zz*pos[i*3+2];zf[i]=z;
   if(z<lo)lo=z; if(z>hi)hi=z;}
  const s=65535/Math.max(hi-lo,1e-9);
- hist.fill(0);
- for(let i=0;i<N;i++){const k=(65535-((zf[i]-lo)*s))|0;keys[i]=k;hist[k+1]++;}
+ hist.fill(0); let M=0;
+ for(let i=0;i<N;i++){if(!visible[modelOf[i]]){keys[i]=65535;continue;}
+  const k=(65535-((zf[i]-lo)*s))|0;keys[i]=k;hist[k+1]++;M++;}
  for(let k=1;k<=65536;k++)hist[k]+=hist[k-1];
- for(let i=0;i<N;i++){order[hist[keys[i]]++]=i;}  // back-to-front
- for(let k=0;k<N;k++){const i=order[k];
+ for(let i=0;i<N;i++){if(!visible[modelOf[i]])continue;order[hist[keys[i]]++]=i;}  // back-to-front
+ drawCount=M;
+ for(let k=0;k<M;k++){const i=order[k];
   spos[k*3]=pos[i*3];spos[k*3+1]=pos[i*3+1];spos[k*3+2]=pos[i*3+2];
   scol[k*4]=col[i*4];scol[k*4+1]=col[i*4+1];scol[k*4+2]=col[i*4+2];scol[k*4+3]=col[i*4+3];
   scovA[k*3]=cov[i*6];scovA[k*3+1]=cov[i*6+1];scovA[k*3+2]=cov[i*6+2];
@@ -308,7 +327,7 @@ function draw(){
  gl.uniform1i(gl.getUniformLocation(prog,"useCrop"),useCrop?1:0);
  gl.uniform3f(gl.getUniformLocation(prog,"cropMin"),cropLo[0],cropLo[1],cropLo[2]);
  gl.uniform3f(gl.getUniformLocation(prog,"cropMax"),cropHi[0],cropHi[1],cropHi[2]);
- gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
+ gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,drawCount);
  // overlays on top (the line program shares view/fx/fy/vp uniforms)
  if(showAxes||showGrid||showFrustums||showCrop){
   gl.useProgram(lprog);
@@ -324,7 +343,7 @@ function draw(){
  frames++;const now=performance.now();
  if(now-lastT>500){
   const crop=showCrop?` | crop axis=${"XYZ"[cropAxis]}${useCrop?" ON":""} ([ ] { } faces, z axis, x apply, r reset)`:"";
-  hud.textContent=`${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | ${MODES[mode]} | drag orbit, shift-drag pan, wheel zoom, 1-4 mode, a axes, g grid, f cams, c crop${crop}`;frames=0;lastT=now;}
+  hud.textContent=`${drawCount}/${META.count} splats | ${(frames*1000/(now-lastT)).toFixed(0)} fps | ${MODES[mode]} | drag orbit, shift-drag pan, wheel zoom, 1-4 mode, a axes, g grid, f cams, c crop${crop}`;frames=0;lastT=now;}
  requestAnimationFrame(draw);
 }
 requestAnimationFrame(draw);
@@ -372,27 +391,9 @@ def _frustum_lines(cameras, scale: float) -> list[list[float]]:
     return out
 
 
-def export_html(
-    splats,
-    output: str | Path,
-    max_points: int = 1_000_000,
-    seed: int = 0,
-    cameras=None,
-) -> Path:
-    """Write a standalone interactive HTML viewer for the splat model.
-    View-dependent color up to SH degree 1 (int8-quantized coefficients);
-    `max_points` caps the embed size by opacity-weighted importance.
-    Overlay tools (crop box, axes, grid, camera frustums) mirror the
-    reference viewer's rendering settings (rendering_manager.hpp:49-75,
-    crop_box_panel.hpp:15-16); pass the dataset `cameras` to enable the
-    frustum overlay.
-
-    Accepts a SplatData (device arrays; pulled to host once) or a host
-    PointCloud — pass the latter when one is already materialized (e.g. the
-    trainer's checkpoint save) to avoid a second device->host download."""
-    from lichtfeld_studio_tpu.core.point_cloud import PointCloud
-
-    pc = splats if isinstance(splats, PointCloud) else splats.to_point_cloud()
+def _model_arrays(pc, max_points: int, seed: int):
+    """One model's embed arrays (means, rgb, opac, cov6, shn), importance-
+    sampled down to max_points."""
     n = pc.size
     means = pc.means.astype(np.float32, copy=False)
     opac = np.clip(
@@ -416,7 +417,54 @@ def export_html(
         w = opac.astype(np.float64) + 1.0
         sel = np.random.default_rng(seed).choice(n, max_points, replace=False, p=w / w.sum())
         means, rgb, opac, cov6, shn = means[sel], rgb[sel], opac[sel], cov6[sel], shn[sel]
-        n = max_points
+    return means, rgb, opac, cov6, shn
+
+
+def export_html(
+    splats,
+    output: str | Path,
+    max_points: int = 1_000_000,
+    seed: int = 0,
+    cameras=None,
+) -> Path:
+    """Write a standalone interactive HTML viewer for one or more splat
+    models. View-dependent color up to SH degree 1 (int8-quantized
+    coefficients); `max_points` caps the embed size by opacity-weighted
+    importance (shared proportionally across models). Overlay tools (crop
+    box, axes, grid, camera frustums) mirror the reference viewer's
+    rendering settings (rendering_manager.hpp:49-75, crop_box_panel.hpp:
+    15-16); pass the dataset `cameras` to enable the frustum overlay.
+
+    `splats` is a SplatData (device arrays; pulled to host once), a host
+    PointCloud, or — the SceneManager analogue (reference multi-PLY scene
+    graph, src/visualizer/scene/scene_manager.cpp) — a list of
+    (name, SplatData|PointCloud) pairs; multi-model exports get a
+    per-model visibility panel in the viewer."""
+    from lichtfeld_studio_tpu.core.point_cloud import PointCloud
+
+    def to_pc(s):
+        return s if isinstance(s, PointCloud) else s.to_point_cloud()
+
+    if isinstance(splats, (list, tuple)) and splats and isinstance(splats[0], (list, tuple)):
+        named = [(str(name), to_pc(s)) for name, s in splats]
+    else:
+        named = [("model", to_pc(splats))]
+
+    total = sum(pc.size for _, pc in named)
+    parts, models_meta, start = [], [], 0
+    for name, pc in named:
+        cap = max(1, int(max_points * pc.size / max(total, 1)))
+        arrs = _model_arrays(pc, cap, seed)
+        cnt = arrs[0].shape[0]
+        models_meta.append({"name": name, "start": start, "count": cnt})
+        parts.append(arrs)
+        start += cnt
+    means = np.concatenate([p[0] for p in parts])
+    rgb = np.concatenate([p[1] for p in parts])
+    opac = np.concatenate([p[2] for p in parts])
+    cov6 = np.concatenate([p[3] for p in parts])
+    shn = np.concatenate([p[4] for p in parts])
+    n = means.shape[0]
 
     sh1_scale = float(max(np.abs(shn).max(), 1e-6)) / 127.0
     sh1_q = np.clip(np.round(shn / sh1_scale), -127, 127).astype(np.int8)
@@ -447,6 +495,7 @@ def export_html(
         "sh1_scale": sh1_scale,
         "bbox_min": [float(v) for v in bbox_min],
         "bbox_max": [float(v) for v in bbox_max],
+        "models": models_meta,
         "frustums": _frustum_lines(cameras, 0.25 * max(radius, 1e-3))
         if cameras
         else [],

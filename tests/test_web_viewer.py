@@ -95,3 +95,63 @@ def test_export_respects_max_points(rng, tmp_path):
     meta, data = _extract(html)
     assert meta["count"] == 64
     assert len(data) == 64 * (12 + 4 + 12 + 9)
+
+
+def test_export_multi_model_scene(rng, tmp_path):
+    """Multi-model export (SceneManager parity): per-model ranges in META,
+    visibility panel wiring, concatenated buffer."""
+    a = make_random_splats(rng, n=60, capacity=64)
+    b = make_random_splats(rng, n=40, capacity=64)
+    out = export_html([("left", a), ("right", b)], tmp_path / "scene.html")
+    html = out.read_text()
+    meta, data = _extract(html)
+    assert [m["name"] for m in meta["models"]] == ["left", "right"]
+    assert [m["count"] for m in meta["models"]] == [60, 40]
+    assert meta["models"][1]["start"] == 60
+    assert meta["count"] == 100
+    stride = 12 + 4 + 12 + 9
+    assert len(data) == 100 * stride
+    buf = np.frombuffer(data, np.uint8).reshape(100, stride)
+    pos = buf[:, 0:12].copy().view("<f4")
+    np.testing.assert_allclose(pos[:60], np.asarray(a.means[:60]), rtol=1e-6)
+    np.testing.assert_allclose(pos[60:], np.asarray(b.means[:40]), rtol=1e-6)
+    # visibility machinery present
+    for needle in ["modelOf", "drawCount", 'getElementById("scene")']:
+        assert needle in html, needle
+
+
+def test_cli_multi_model_view(rng, tmp_path):
+    """-v a.ply,b.ply exports a two-model viewer via the real CLI path."""
+    from lichtfeld_studio_tpu.cli import main
+    from lichtfeld_studio_tpu.io.ply import write_ply
+
+    a = make_random_splats(rng, n=30, capacity=32)
+    b = make_random_splats(rng, n=20, capacity=32)
+    pa, pb = tmp_path / "a.ply", tmp_path / "b.ply"
+    write_ply(a.to_point_cloud(), str(pa))
+    write_ply(b.to_point_cloud(), str(pb))
+    out = tmp_path / "scene.html"
+    rc = main(["-v", f"{pa},{pb}", "--render-output", str(out)])
+    assert rc == 0
+    meta, _ = _extract(out.read_text())
+    assert [m["name"] for m in meta["models"]] == ["a", "b"]
+    assert meta["count"] == 50
+
+
+def test_cli_multi_model_composite_render(rng, tmp_path):
+    """-v a.ply,b.ply --render-output x.png composites both models."""
+    from lichtfeld_studio_tpu.cli import main
+    from lichtfeld_studio_tpu.io.ply import write_ply
+
+    a = make_random_splats(rng, n=16, capacity=16)
+    b = make_random_splats(rng, n=12, capacity=16)
+    pa, pb = tmp_path / "a.ply", tmp_path / "b.ply"
+    write_ply(a.to_point_cloud(), str(pa))
+    write_ply(b.to_point_cloud(), str(pb))
+    out = tmp_path / "composite.png"
+    rc = main(["-v", f"{pa},{pb}", "--render-output", str(out),
+               "--render-size", "64", "48"])
+    assert rc == 0 and out.exists()
+    from lichtfeld_studio_tpu.io.image import load_image
+    img = load_image(str(out))
+    assert img.shape[:2] == (48, 64)
