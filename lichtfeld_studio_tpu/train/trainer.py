@@ -436,20 +436,26 @@ class Trainer:
                         mcmc=dataclasses.replace(self.cfg.mcmc, max_cap=new_gcap),
                     )
 
+                # the deferred-readback scheme has no previous loss on the
+                # very first dispatch; sync the fresh one once rather than
+                # reporting a scary (but meaningless) nan
+                if not losses:
+                    losses.append(float(pending_loss))
+                    pending_loss = None
                 if pbar is not None:
                     pbar.update(k)
                     pbar.set_postfix(
-                        loss=f"{losses[-1]:.4f}" if losses else "-",
+                        loss=f"{losses[-1]:.4f}",
                         gaussians=int(self.state.splats.n_active),
                     )
                 if self.progress_callback:
                     self.progress_callback(
-                        it, losses[-1] if losses else float("nan"),
+                        it, losses[-1],
                         int(self.state.splats.n_active),
                     )
                 bus().emit(TrainingProgress(
                     iteration=it,
-                    loss=losses[-1] if losses else float("nan"),
+                    loss=losses[-1],
                     num_gaussians=int(self.state.splats.n_active),
                     is_refining=flags_next.refine,
                 ))
@@ -469,7 +475,8 @@ class Trainer:
                     self.save_ply(it)
                 if it in state_steps:
                     self.save_state(it)
-            losses.append(float(pending_loss))
+            if pending_loss is not None:
+                losses.append(float(pending_loss))
         finally:
             self._loader.stop()
             if pbar is not None:
