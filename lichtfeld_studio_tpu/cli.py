@@ -119,8 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--viewer-max-points", type=int, default=1_000_000,
                    help="embed size cap for the HTML viewer export")
+    p.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
+                   help="serve a live training viewer with pause/resume/"
+                        "save/stop controls on this port (0 = ephemeral)")
     # TPU-specific
     p.add_argument("--instance-cap", type=int, default=None)
+    p.add_argument("--dispatch-steps", type=int, default=None,
+                   help="steps fused into one device dispatch (lax.scan)")
     p.add_argument("--devices", type=int, default=None,
                    help="camera-batch data parallelism over N chips")
     p.add_argument("--log-level", type=str, default="info")
@@ -156,6 +161,7 @@ _OVERRIDE_MAP = {
     "init_rho": "init_rho",
     "sog_iterations": "sog_iterations",
     "instance_cap": "instance_cap",
+    "dispatch_steps": "dispatch_steps",
     "devices": "devices",
     "lpips_weights": "lpips_weights",
     "save_state_every": "save_state_every",
@@ -315,7 +321,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"iter {it:>6}  loss {loss:.5f}  gaussians {n}", flush=True)
 
     trainer.progress_callback = progress
-    stats = trainer.train()
+
+    server = None
+    if args.live_viewer is not None:
+        from lichtfeld_studio_tpu.render.live_server import LiveTrainingServer
+
+        server = LiveTrainingServer(trainer, port=args.live_viewer).start()
+        trainer.control = server.control
+    try:
+        stats = trainer.train()
+    finally:
+        if server is not None:
+            server.stop()
     print(
         f"done: {stats['elapsed_s']:.1f}s ({stats['iters_per_s']:.2f} it/s), "
         f"{stats['num_gaussians']} gaussians, final loss {stats['final_loss']:.5f}"

@@ -96,3 +96,39 @@ class MemoryUsage:
 class FrameRendered:
     render_ms: float
     fps: float
+
+
+# --- command events (reference cmd:: namespace, events.hpp:20-60) --------
+@dataclass
+class PauseTraining:
+    pass
+
+
+@dataclass
+class ResumeTraining:
+    pass
+
+
+@dataclass
+class SaveCheckpoint:
+    pass
+
+
+@dataclass
+class StopTraining:
+    pass
+
+
+@dataclass
+class TrainingPaused:
+    iteration: int
+
+
+@dataclass
+class TrainingResumed:
+    iteration: int
+
+
+@dataclass
+class TrainingStopped:
+    iteration: int

@@ -53,6 +53,14 @@ class Trainer:
     evaluator: Optional[MetricsEvaluator] = None
     progress_callback: Optional[Callable[[int, float, int], None]] = None
     project: Optional[object] = None  # core.project.Project (.lfs registry)
+    # live-control surface (render/live_server.TrainingControl) — the
+    # reference's pause/save/stop atomics polled between dispatches
+    # (trainer.hpp:199-210); last_progress feeds the live viewer's stats
+    control: Optional[object] = None
+    last_progress: tuple = (0, None, 0)
+    # True while train() runs: tells the live server that between-dispatch
+    # jobs WILL be pumped (it must not touch donated state from its thread)
+    training_active: bool = False
     _loader: Optional[InfiniteRandomLoader] = None
 
     @staticmethod
@@ -320,6 +328,7 @@ class Trainer:
         pending_loss = None
         t_start = time.time()
         losses = []
+        self.training_active = True
         try:
             it = int(self.state.iteration)  # > 0 after --resume
             if pbar is not None and it:
@@ -475,9 +484,42 @@ class Trainer:
                     self.save_ply(it)
                 if it in state_steps:
                     self.save_state(it)
+
+                # --- live control (pause/save/stop between dispatches;
+                # reference trainer.cpp handle_control_requests) ---
+                self.last_progress = (
+                    it, losses[-1], int(self.state.splats.n_active)
+                )
+                if self.control is not None:
+                    from lichtfeld_studio_tpu.core.events import (
+                        TrainingPaused,
+                        TrainingResumed,
+                        TrainingStopped,
+                    )
+
+                    # live-viewer renders etc. run HERE, between dispatches,
+                    # where the (donated) state pytree is guaranteed live
+                    self.control.run_pending(self)
+                    if self.control.consume_save_request():
+                        self.save_ply(it)
+                    if self.control.paused and not self.control.stop_requested:
+                        bus().emit(TrainingPaused(iteration=it))
+                        while self.control.paused and not self.control.stop_requested:
+                            self.control.run_pending(self)
+                            if self.control.consume_save_request():
+                                self.save_ply(it)
+                            time.sleep(0.05)
+                        bus().emit(TrainingResumed(iteration=it))
+                    if self.control.stop_requested:
+                        bus().emit(TrainingStopped(iteration=it))
+                        print(f"[control] stop requested at iter {it}", flush=True)
+                        break
             if pending_loss is not None:
                 losses.append(float(pending_loss))
         finally:
+            self.training_active = False
+            if self.control is not None:
+                self.control.run_pending(self)  # drain queued viewer jobs
             self._loader.stop()
             if pbar is not None:
                 pbar.close()
