@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reset-every", type=int, default=None)
     p.add_argument("--pause-refine-after-reset", type=int, default=None)
     p.add_argument("--revised-opacity", action="store_true")
+    p.add_argument("--sh-degree-interval", type=int, default=None,
+                   help="iterations between SH degree increments")
+    p.add_argument("--save-depth", action="store_true",
+                   help="save eval depth colormaps (forces a depth channel)")
     p.add_argument("--eval", action="store_true", help="enable evaluation")
     p.add_argument("--headless", action="store_true")
     p.add_argument("--render-mode", type=str, default=None, choices=sorted(RENDER_MODES))
@@ -136,6 +140,7 @@ _OVERRIDE_MAP = {
     # argparse dest -> OptimizationParameters field
     "iterations": "iterations",
     "sh_degree": "sh_degree",
+    "sh_degree_interval": "sh_degree_interval",
     "max_cap": "max_cap",
     "min_opacity": "min_opacity",
     "refine_every": "refine_every",
@@ -188,6 +193,7 @@ _FLAG_MAP = {
     "enable_sparsity": "enable_sparsity",
     "save_sog": "save_sog",
     "revised_opacity": "revised_opacity",
+    "save_depth": "save_depth",
 }
 
 
@@ -265,8 +271,9 @@ def main(argv: list[str] | None = None) -> int:
 
         # comma-separated paths = multi-model scene (the reference
         # SceneManager loads multiple PLYs into one scene graph,
-        # src/visualizer/scene/scene_manager.cpp)
-        paths = [p for p in str(params.ply_path).split(",") if p]
+        # src/visualizer/scene/scene_manager.cpp); whitespace around the
+        # separators is stripped so "-v a.ply, b.ply" works
+        paths = [p.strip() for p in str(params.ply_path).split(",") if p.strip()]
         for p_ in paths:
             if not os.path.exists(p_):
                 print(f"error: splat file not found: {p_}", file=sys.stderr)
@@ -326,6 +333,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.live_viewer is not None:
         from lichtfeld_studio_tpu.render.live_server import LiveTrainingServer
 
+        # mark training active BEFORE the server accepts requests: a render
+        # arriving before train() flips the flag would self-claim on the
+        # HTTP thread and race the first dispatch's buffer donation
+        trainer.training_active = True
         server = LiveTrainingServer(trainer, port=args.live_viewer).start()
         trainer.control = server.control
     try:

@@ -91,6 +91,10 @@ class OptimizationParameters:
     init_rho: float = 5e-4
     prune_ratio: float = 0.6
 
+    # Save eval depth-colormap dumps even in RGB render mode (reference
+    # --save-depth, argument_parser.cpp:149; depth dump loop
+    # metrics.cpp:454-480): forces the eval renders to carry a depth channel
+    save_depth: bool = False
     # LPIPS VGG weights (npz, see ops/lpips.py); "" disables LPIPS like the
     # reference's missing weights/lpips_vgg.pt (metrics.cpp:125-128)
     lpips_weights: str = ""

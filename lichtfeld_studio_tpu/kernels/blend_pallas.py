@@ -54,9 +54,13 @@ import os as _os
 # instances per streamed slice; the compact (unaligned) layout streams
 # CHUNK//2-wide chunks. Overridable for tuning sweeps (tools/profile_blend).
 CHUNK = int(_os.environ.get("LFS_BLEND_CHUNK", "256"))
-IN_SLOTS = 4  # input-stream prefetch depth (kernels are DMA-latency bound:
-#   a chunk's 4 KB strided copy takes ~2x the chunk's compute, so the wait
-#   must land IN_SLOTS-1 compute bodies after the start, not 1)
+# Mosaic requires 128-lane DMA slice alignment; the compact path streams
+# CHUNK//2-wide chunks, so CHUNK must be a multiple of 256 (a bad override
+# fails with an opaque device error otherwise — PERFNOTES round-3 ledger).
+assert CHUNK % 256 == 0, f"LFS_BLEND_CHUNK must be a multiple of 256, got {CHUNK}"
+IN_SLOTS = 4  # input-stream prefetch depth. Measured: depth 2 -> 4 changed
+#   nothing (the kernels were never DMA-latency stalled — PERFNOTES round-3
+#   ledger); kept at 4 because the extra slots are free VMEM.
 OUT_SLOTS = 4  # backward writeback rotation depth
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
 # backward per-instance gradient rows: 0-5 geometry (FULL f32 — an

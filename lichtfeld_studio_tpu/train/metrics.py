@@ -49,6 +49,7 @@ class MetricsEvaluator:
     k_max: int = 1024
     lpips_weights: Optional[str] = None
     render_mode: str = "RGB"  # RGB/D/ED/RGB_D/RGB_ED (rasterizer.cpp:364-394)
+    save_depth: bool = False  # force depth dumps even in RGB mode (--save-depth)
     projection: str = "auto"
     antialiasing: bool = False
     _rows: list[EvalMetrics] = field(default_factory=list)
@@ -71,7 +72,7 @@ class MetricsEvaluator:
         img_dir = self.output_dir / f"eval_step_{iteration}"
         if self.save_images:
             img_dir.mkdir(parents=True, exist_ok=True)
-        with_depth = self.render_mode != "RGB"
+        with_depth = self.render_mode != "RGB" or self.save_depth
         for k in range(len(self.dataset)):
             cam = self.dataset[k]
             gt = jnp.asarray(cam.load_image())
@@ -99,11 +100,15 @@ class MetricsEvaluator:
                     side_by_side(np.asarray(gt), np.asarray(pred)),
                 )
                 if with_depth:
-                    # depth colormap dump per render mode (metrics.cpp:454-480)
-                    from lichtfeld_studio_tpu.ops.rasterize import apply_render_mode
+                    # depth colormap dump per render mode (metrics.cpp:454-480);
+                    # --save-depth in RGB mode dumps the raw accumulated depth
+                    if self.render_mode == "RGB":
+                        d = np.asarray(out.depth)
+                    else:
+                        from lichtfeld_studio_tpu.ops.rasterize import apply_render_mode
 
-                    frame = np.asarray(apply_render_mode(out, self.render_mode))
-                    d = frame[..., -1] if frame.shape[-1] in (1, 4) else frame[..., 0]
+                        frame = np.asarray(apply_render_mode(out, self.render_mode))
+                        d = frame[..., -1] if frame.shape[-1] in (1, 4) else frame[..., 0]
                     lo, hi = np.nanmin(d), np.nanmax(d)
                     dn = (d - lo) / max(hi - lo, 1e-9)
                     save_image(
@@ -145,13 +150,26 @@ class MetricsEvaluator:
             return
         best = max(self._rows, key=lambda m: m.psnr)
         final = self._rows[-1]
+
+        def lp(m: EvalMetrics) -> str:
+            # -1 is the "no VGG weights" sentinel (see evaluate) — say so
+            # instead of printing a misleading number; the tool that produces
+            # the weights file is tools/export_lpips_weights.py
+            return f"{m.lpips:.4f}" if m.lpips >= 0 else "unavailable (no weights)"
+
         lines = [
             "Evaluation report",
             "=================",
             f"evaluations: {len(self._rows)}",
-            f"best   : iter {best.iteration}  PSNR {best.psnr:.4f}  SSIM {best.ssim:.4f}  LPIPS {best.lpips:.4f}",
-            f"final  : iter {final.iteration}  PSNR {final.psnr:.4f}  SSIM {final.ssim:.4f}  LPIPS {final.lpips:.4f}",
+            f"best   : iter {best.iteration}  PSNR {best.psnr:.4f}  SSIM {best.ssim:.4f}  LPIPS {lp(best)}",
+            f"final  : iter {final.iteration}  PSNR {final.psnr:.4f}  SSIM {final.ssim:.4f}  LPIPS {lp(final)}",
             f"gaussians(final): {final.num_gaussians}",
             "",
         ]
+        if final.lpips < 0:
+            lines.insert(
+                3,
+                "lpips: unavailable (no VGG weights in this environment; "
+                "export with tools/export_lpips_weights.py and pass --lpips-weights)",
+            )
         (self.output_dir / "report.txt").write_text("\n".join(lines))

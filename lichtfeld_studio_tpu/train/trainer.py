@@ -190,6 +190,7 @@ class Trainer:
                 k_max=cfg.k_max,
                 lpips_weights=opt.lpips_weights or None,
                 render_mode=opt.render_mode,
+                save_depth=opt.save_depth,
                 projection=cfg.projection,
                 antialiasing=cfg.antialiasing,
             )
@@ -331,6 +332,7 @@ class Trainer:
         self.training_active = True
         try:
             it = int(self.state.iteration)  # > 0 after --resume
+            it0 = it  # starting iteration (throughput accounting excludes it)
             if pbar is not None and it:
                 pbar.update(it)
             while it < opt.iterations:
@@ -526,17 +528,20 @@ class Trainer:
 
         if opt.enable_sparsity:
             self._final_sparsity_prune()
-        self.save_ply(opt.iterations)
+        # `it` is the ACTUAL final iteration — a live-viewer stop may have
+        # ended the run early, and --resume started it above zero; label the
+        # artifact and compute throughput from what actually ran
+        self.save_ply(it)
         if self.evaluator is not None:
             self.evaluator.write_report()
         elapsed = time.time() - t_start
         bus().emit(TrainingCompleted(
-            iterations=opt.iterations, elapsed_s=elapsed,
+            iterations=it, elapsed_s=elapsed,
             final_loss=losses[-1] if losses else float("nan"),
         ))
         return {
             "elapsed_s": elapsed,
-            "iters_per_s": opt.iterations / elapsed,
+            "iters_per_s": max(it - it0, 0) / max(elapsed, 1e-9),
             "final_loss": losses[-1] if losses else float("nan"),
             "num_gaussians": int(self.state.splats.n_active),
         }

@@ -84,6 +84,32 @@ def test_render_mode_reaches_evaluator(tmp_path, rng):
     assert t.evaluator is not None and t.evaluator.render_mode == "RGB_D"
 
 
+def test_sh_degree_interval_flag(tmp_path, rng):
+    """--sh-degree-interval reaches the step schedule (argument_parser.cpp
+    sh-degree-interval): SH degree steps at the configured cadence."""
+    from lichtfeld_studio_tpu.train.state import step_flags
+
+    t = _setup(tmp_path, rng, "--sh-degree-interval", "7")
+    assert t.cfg.mcmc.sh_degree_interval == 7
+    assert step_flags(t.cfg, 7).sh_step and not step_flags(t.cfg, 6).sh_step
+
+
+def test_save_depth_flag_dumps_depth(tmp_path, rng):
+    """--save-depth forces eval depth-colormap dumps even in RGB mode
+    (reference metrics.cpp:454-480)."""
+    t = _setup(tmp_path, rng, "--eval", "--test-every", "3",
+               "--eval-steps", "2", "--save-depth")
+    assert t.evaluator is not None and t.evaluator.save_depth is True
+    t.evaluator.evaluate(t.state.splats, 2)
+    dumps = list((tmp_path / "out" / "eval_step_2").glob("*_depth.png"))
+    assert dumps, "no depth dumps written"
+    # without the flag, RGB mode writes no depth images
+    t2 = _setup(tmp_path / "b", rng, "--eval", "--test-every", "3",
+                "--eval-steps", "2")
+    t2.evaluator.evaluate(t2.state.splats, 2)
+    assert not list((tmp_path / "b" / "out" / "eval_step_2").glob("*_depth.png"))
+
+
 def test_bilateral_dims_reach_grids(tmp_path, rng):
     t = _setup(tmp_path, rng, "--bilateral-grid",
                "--bilateral-grid-x", "4", "--bilateral-grid-y", "6",
