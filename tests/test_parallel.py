@@ -104,3 +104,73 @@ def test_trainer_dp_integration(rng, tmp_path):
     assert len(shards) == 8
     ref = np.asarray(shards[0].data).tobytes()
     assert all(np.asarray(s.data).tobytes() == ref for s in shards[1:])
+
+
+@pytest.mark.slow
+def test_dp_step_matches_sequential_averaged_grads(rng):
+    """Quality-semantics claim of data_parallel.py: ONE B-camera DP step is
+    mathematically ONE step whose gradient is the average of the B
+    per-camera gradients (= B-step gradient accumulation with lr/B). Verify
+    against a single-device reference computed with compute_grads +
+    apply_update on the host-averaged gradient stack."""
+    from lichtfeld_studio_tpu.train.state import StepFlags, apply_update, compute_grads
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    W, H = 32, 32
+    gt_splats = make_random_splats(rng, n=32, capacity=64)
+    cams = [make_camera(W, H, fov_scale=1.0 + 0.05 * i) for i in range(n_dev)]
+    for i, c in enumerate(cams):
+        c.uid = i
+    bg = jnp.zeros(3)
+    targets = [
+        np.asarray(
+            rasterize(gt_splats, c.device_params(), bg, mode="tiles",
+                      instance_cap=4096, k_max=64).image
+        )
+        for c in cams
+    ]
+    noisy = gt_splats.replace_trainable(
+        {
+            **gt_splats.trainable_dict(),
+            "means": gt_splats.means
+            + 0.02 * jnp.asarray(rng.normal(0, 1, gt_splats.means.shape).astype(np.float32)),
+        }
+    )
+    lrs = make_lrs(1.6e-3, 2.5e-3, 5e-3, 1e-3, 0.05, noisy.scene_scale)
+    cfg = TrainConfig(
+        iterations=10, raster_mode="tiles", instance_cap=4096, k_max=64,
+        mcmc=MCMCConfig(max_cap=64, start_refine=100, stop_refine=200, refine_every=100),
+        lr_gamma=1.0,
+    )
+    flags = StepFlags()
+
+    # --- DP step over the 8-device mesh ---
+    state_dp = init_train_state(noisy, lrs, seed=0)
+    step = make_dp_train_step(mesh, cfg, W, H)
+    cam_batch, gt = make_camera_batch(cams, targets)
+    state_dp, metrics_dp = step(state_dp, cam_batch, gt, bg, flags)
+
+    # --- sequential reference: average the 8 per-camera gradients, apply once ---
+    state_seq = init_train_state(noisy, lrs, seed=0)
+    per_cam = [
+        compute_grads(state_seq, c.device_params(), jnp.asarray(t), bg, cfg, flags)
+        for c, t in zip(cams, targets)
+    ]
+    losses = [p[0] for p in per_cam]
+    outs = [p[1] for p in per_cam]
+    grad_avg = jax.tree.map(lambda *g: sum(g[1:], g[0]) / n_dev, *(p[2] for p in per_cam))
+    loss_avg = sum(losses[1:], losses[0]) / n_dev
+    state_seq, metrics_seq = apply_update(state_seq, grad_avg, cfg, loss_avg, outs[0], flags)
+
+    # metric + parameter agreement (fp summation order differs; tight tol)
+    assert abs(float(metrics_dp["loss"]) - float(metrics_seq["loss"])) < 1e-5
+    for k in ("means", "scaling", "opacity", "sh0"):
+        a = np.asarray(getattr(state_dp.splats, k))
+        b = np.asarray(getattr(state_seq.splats, k))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=k)
+    m_dp = np.asarray(state_dp.adam.exp_avg["means"])
+    m_seq = np.asarray(state_seq.adam.exp_avg["means"])
+    np.testing.assert_allclose(m_dp, m_seq, rtol=2e-5, atol=2e-7)
