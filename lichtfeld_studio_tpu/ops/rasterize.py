@@ -111,6 +111,7 @@ def rasterize(
     antialiasing: bool = False,
     gut_exact: bool = False,  # exact per-pixel world-space blend (K13/K14)
     inference: bool = False,
+    cam_grad: bool = False,  # caller differentiates wrt the camera (pose opt)
 ) -> RenderOutput:
     """`mean2d_offset` [C,2] is a zero dummy added to the projected means so
     the trainer can read d(loss)/d(mean2d) for ADC densification — the
@@ -212,16 +213,6 @@ def rasterize(
         )
 
         n_ch = 4 if with_depth else 3
-        assignment = build_tile_assignment(
-            proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
-            need_grad=not inference,
-        )
-        featw = pack_world_features(
-            splats.means, splats.scaling, splats.rotation,
-            proj.opacity, proj.color,
-            proj.depth if with_depth else None,
-        )
-        feat = gather_instance_features(featw, assignment, proj.n_touched)
         radial = camera.radial if camera.radial is not None else jnp.zeros((0,), jnp.float32)
         tangential = (
             camera.tangential if camera.tangential is not None else jnp.zeros((0,), jnp.float32)
@@ -231,11 +222,53 @@ def rasterize(
             width, height, tile_size,
             w2c_end=camera.w2c_end, shutter_type=camera.shutter_type,
         )
-        image4, alpha = world_blend_tiles(
-            feat, rays_o, rays_d, assignment,
-            grid_w=grid_w, grid_h=grid_h, tile_size=tile_size,
-            k_max=k_max, n_channels=n_ch,
+        # Streaming Pallas path (full-resolution capable, NO k_max
+        # truncation): GLOBAL shutter only (the shared-ray-origin identity —
+        # see kernels/world_blend_pallas.py) and not ortho (per-pixel
+        # origins). cam_grad (pose optimization) needs d(loss)/d(rays),
+        # which the streaming kernel does not propagate — dense fallback.
+        use_stream = (
+            mode == "pallas"
+            and camera.shutter_type == ShutterType.GLOBAL
+            and camera.camera_model != CameraModelType.ORTHO
+            and not cam_grad
         )
+        if use_stream:
+            from lichtfeld_studio_tpu.kernels.world_blend_pallas import (
+                pack_world_stream,
+                world_blend_pallas,
+            )
+
+            assignment = build_tile_assignment(
+                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
+                chunk_align=1, need_grad=not inference,
+            )
+            stream16 = pack_world_stream(
+                splats.means, splats.scaling, splats.rotation,
+                proj.opacity, proj.color, camera.cam_position,
+                proj.depth if with_depth else None,
+            )
+            image4, alpha = world_blend_pallas(
+                stream16, rays_d, assignment, proj.n_touched,
+                grid_w=grid_w, grid_h=grid_h, tile_size=tile_size,
+                n_channels=n_ch,
+            )
+        else:
+            assignment = build_tile_assignment(
+                proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
+                need_grad=not inference,
+            )
+            featw = pack_world_features(
+                splats.means, splats.scaling, splats.rotation,
+                proj.opacity, proj.color,
+                proj.depth if with_depth else None,
+            )
+            feat = gather_instance_features(featw, assignment, proj.n_touched)
+            image4, alpha = world_blend_tiles(
+                feat, rays_o, rays_d, assignment,
+                grid_w=grid_w, grid_h=grid_h, tile_size=tile_size,
+                k_max=k_max, n_channels=n_ch,
+            )
         image4 = image4[:height, :width]
         alpha = alpha[:height, :width]
         n_instances = assignment.n_instances

@@ -257,6 +257,7 @@ def compute_grads(
             projection=cfg.projection,
             antialiasing=cfg.antialiasing,
             gut_exact=cfg.gut_exact,
+            cam_grad=cfg.pose_mode != "none",
         )
         image = out.image
         if cfg.use_bilateral_grid:
