@@ -317,6 +317,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if not params.dataset.data_path:
+        if args.live_viewer is not None:
+            # studio lobby (reference run_gui_app with no data,
+            # application.cpp:56-138): open datasets/models, configure +
+            # start runs, crop/transform/save — all from the browser
+            from lichtfeld_studio_tpu.render.live_server import LiveTrainingServer
+            from lichtfeld_studio_tpu.render.studio import StudioSession
+
+            session = StudioSession(out_dir=args.output_path)
+            server = LiveTrainingServer(session, port=args.live_viewer).start()
+            print("studio session — open a dataset or model from the browser",
+                  flush=True)
+            try:
+                while True:
+                    import time as _time
+
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                server.stop()
+            return 0
         print("error: --data-path required for training", file=sys.stderr)
         return 2
 

@@ -14,6 +14,17 @@ over HTTP instead:
   GET  /render.png?yaw=&pitch=&r=&w=&h=   render the CURRENT model
   POST /control?cmd=pause|resume|save|stop
 
+When the source is a StudioSession (render/studio.py — the CLI's
+`--live-viewer PORT` with no -d/-v), the full application lifecycle of the
+reference GUI (application.cpp:56-138) is exposed too:
+
+  GET  /session.json  {mode, data_path, num_gaussians, train_error, ...}
+  POST /open          {"path": "scene_dir | model.ply"}
+  POST /train         {"argv": ["-i","1000","--max-cap","100000", ...]}
+  POST /crop          {"min": [x,y,z], "max": [x,y,z]}   (edit the model)
+  POST /transform     {"translate": [x,y,z], "euler": [r,p,y]}
+  POST /saveply       {"name": "cropped"}
+
 Rendering happens on the HTTP thread with the same jitted inference
 rasterizer as the headless renderer; JAX serializes device dispatches, so
 frames interleave with training steps exactly like the reference's
@@ -125,6 +136,16 @@ class TrainingControl:
                 return True
             return False
 
+    def reset(self) -> None:
+        """Clear flags before a NEW run reuses this control (a studio
+        session can train repeatedly; a previous run's stop flag must not
+        kill the next one). Queued jobs survive — they target the model,
+        not the run."""
+        with self._lock:
+            self._paused = False
+            self._stop = False
+            self._save_requests = 0
+
     # --- between-dispatch work queue ----------------------------------
     def submit(self, fn) -> _Job:
         """Queue fn(source) to run on the trainer thread between dispatches
@@ -169,6 +190,26 @@ _PAGE = """<!DOCTYPE html>
  <h3 style="margin-top:14px">view</h3>
  <div>drag = orbit, wheel = zoom</div>
  <div>fps <span class="v" id="fps">-</span></div>
+ <div id="studio" style="display:none">
+  <h3 style="margin-top:14px">session <span class="v" id="mode">-</span></h3>
+  <input id="path" placeholder="dataset dir or model.ply" style="width:95%">
+  <button onclick="openPath()">open</button>
+  <div style="margin-top:6px">
+   <input id="targs" placeholder='-i 1000 --max-cap 100000'
+          style="width:95%">
+   <button onclick="train()">start training</button>
+  </div>
+  <h3 style="margin-top:10px">edit</h3>
+  <div>crop min/max (x y z):</div>
+  <input id="cmin" value="-1 -1 -1" style="width:44%">
+  <input id="cmax" value="1 1 1" style="width:44%">
+  <button onclick="crop()">crop</button>
+  <div style="margin-top:6px">
+   <input id="sname" placeholder="save name" style="width:60%">
+   <button onclick="saveply()">save ply</button>
+  </div>
+  <div id="msg" style="color:#fa8"></div>
+ </div>
 </div></div>
 <script>
 "use strict";
@@ -190,6 +231,29 @@ window.onmousemove=e=>{if(!dragging)return;
  lx=e.clientX;ly=e.clientY;refresh();};
 img.onwheel=e=>{e.preventDefault();r*=Math.exp(e.deltaY*0.001);r=Math.max(0.1,Math.min(10,r));refresh();};
 function ctl(cmd){fetch("/control?cmd="+cmd,{method:"POST"});}
+async function verb(path,body){
+ const r=await fetch(path,{method:"POST",body:JSON.stringify(body)});
+ const j=await r.json().catch(()=>({}));
+ document.getElementById("msg").textContent=r.ok?JSON.stringify(j):(j.error||"error");
+ if(r.ok)refresh(); return r.ok;
+}
+function openPath(){verb("/open",{path:document.getElementById("path").value});}
+function train(){
+ const a=document.getElementById("targs").value.trim();
+ verb("/train",{argv:a?a.split(/\\s+/):[]});
+}
+function vec(id){return document.getElementById(id).value.trim().split(/\\s+/).map(Number);}
+function crop(){verb("/crop",{min:vec("cmin"),max:vec("cmax")});}
+function saveply(){verb("/saveply",{name:document.getElementById("sname").value});}
+async function sess(){
+ try{const r=await fetch("/session.json"); if(!r.ok)return;
+  const s=await r.json();
+  document.getElementById("studio").style.display="block";
+  document.getElementById("mode").textContent=s.mode+
+    (s.train_error?" ("+s.train_error+")":"");
+ }catch(e){} setTimeout(sess,2000);
+}
+sess();
 async function stats(){
  try{const s=await (await fetch("/state.json")).json();
   document.getElementById("it").textContent=s.iteration;
@@ -218,6 +282,10 @@ class LiveTrainingServer:
         self.source = source
         self.control = control or TrainingControl()
         self._render_lock = threading.Lock()  # one in-flight render at a time
+        # lifecycle endpoints are live only when the source is a session
+        from lichtfeld_studio_tpu.render.studio import StudioSession
+
+        self.session = source if isinstance(source, StudioSession) else None
 
         server = self
 
@@ -251,10 +319,22 @@ class LiveTrainingServer:
                             height=int(q.get("h", 480)),
                         )
                         self._send(200, png, "image/png")
+                    elif u.path == "/session.json":
+                        sess = server.session
+                        if sess is None:
+                            self._send(404, b"no session", "text/plain")
+                        else:
+                            self._send(200, json.dumps(sess.session_json()).encode(),
+                                       "application/json")
                     else:
                         self._send(404, b"not found", "text/plain")
                 except Exception as e:  # keep the server alive on bad frames
                     self._send(500, str(e).encode(), "text/plain")
+
+            def _json_body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                return json.loads(raw) if raw else {}
 
             def do_POST(self):
                 u = urlparse(self.path)
@@ -264,8 +344,37 @@ class LiveTrainingServer:
                     self._send(200 if ok else 400,
                                json.dumps({"ok": ok, "cmd": cmd}).encode(),
                                "application/json")
-                else:
+                    return
+                sess = server.session
+                verbs = {"/open", "/train", "/crop", "/transform", "/saveply"}
+                if u.path not in verbs:
                     self._send(404, b"not found", "text/plain")
+                    return
+                if sess is None:
+                    self._send(404, b"no session (start with --live-viewer "
+                                    b"and no -d/-v)", "text/plain")
+                    return
+                try:
+                    body = self._json_body()
+                    if u.path == "/open":
+                        res = sess.open(str(body.get("path", "")))
+                    elif u.path == "/train":
+                        res = sess.start_training(
+                            [str(a) for a in body.get("argv", [])], server.control
+                        )
+                    elif u.path == "/crop":
+                        res = sess.crop(body["min"], body["max"])
+                    elif u.path == "/transform":
+                        res = sess.transform(
+                            body.get("translate"), body.get("euler")
+                        )
+                    else:
+                        res = sess.save(str(body.get("name", "")))
+                    self._send(200, json.dumps(res).encode(), "application/json")
+                except Exception as e:  # lifecycle errors -> clean 409
+                    self._send(409, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}
+                    ).encode(), "application/json")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
@@ -296,8 +405,11 @@ class LiveTrainingServer:
     def state_json(self) -> dict:
         it, loss, n = getattr(self.source, "last_progress", (0, None, 0))
         c = self.control
-        status = ("stopping" if c.stop_requested
-                  else "paused" if c.paused else "training")
+        if self.session is not None and not self.session.training_active:
+            status = self.session.mode
+        else:
+            status = ("stopping" if c.stop_requested
+                      else "paused" if c.paused else "training")
         return {
             "iteration": it,
             "loss": loss,
