@@ -284,11 +284,11 @@ def _forward_kernel(
             sem.at[slot],
         )
 
-    # PREFETCH DEPTH: the kernel is DMA-LATENCY bound, not VPU bound
-    # (measured by ablation: deleting the prefix scan or the exp2 changes
-    # nothing; per-chunk wall ~2.6 us vs ~1 us of compute). With double
-    # buffering the copy for chunk ci is only one body of compute old when
-    # waited on; with IN_SLOTS-deep rotation it is IN_SLOTS-1 bodies old.
+    # PREFETCH DEPTH: measured ablations (PERFNOTES r3) show the kernel is
+    # NEITHER DMA-latency nor VPU-pass bound — IN_SLOTS 2 -> 4 changed
+    # nothing, and deleting the prefix scan or the exp2 changes nothing; the
+    # ~2.6 us per-chunk wall is distributed VLIW/vreg-loop overhead across
+    # ~20 short vector ops. IN_SLOTS stays at 4 because the slots are free.
     for k in range(IN_SLOTS - 1):
         @pl.when(k < n_chunks)
         def _(k=k):
@@ -400,7 +400,13 @@ def _forward_kernel(
     out_ref[0, 0:4, :] = acc[0:4]
     # telescoped frozen transmittance: T = 1 - sum(counted weights)
     out_ref[0, 4, :] = 1.0 - acc[4]
-    out_ref[0, 5:8, :] = jnp.zeros((3, n_pix), jnp.float32)
+    # diagnostics (free: rows were zero-filled anyway): walked vs total
+    # chunks for this tile — the early-termination effectiveness signal
+    # consumed by tools/walk_stats.py. Row 5 is REWRITTEN by the backward
+    # caller (g_aug carries CG_final there), never read from the fwd output.
+    out_ref[0, 5, :] = jnp.broadcast_to(ci_end.astype(jnp.float32), (n_pix,))
+    out_ref[0, 6, :] = jnp.broadcast_to(n_chunks.astype(jnp.float32), (n_pix,))
+    out_ref[0, 7, :] = jnp.zeros((n_pix,), jnp.float32)
 
 
 def _backward_kernel(

@@ -1,0 +1,97 @@
+"""Early-termination effectiveness at bench geometry: per-tile walked vs
+total chunks (read from the forward kernel's free diagnostic rows 5/6).
+
+The blend's cost is walked-chunk count x per-chunk wall (PERFNOTES); this
+prints the distribution that says how much headroom finer-grained
+termination (sub-tile blocks) or chunk skipping could unlock.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_tpu_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from lichtfeld_studio_tpu.core.camera import look_at_camera
+    from lichtfeld_studio_tpu.core.splat_data import SplatData
+    from lichtfeld_studio_tpu.kernels.blend_pallas import _blend_gathered_fwd
+    from lichtfeld_studio_tpu.ops.projection import project_gaussians
+    from lichtfeld_studio_tpu.ops.tiles import build_tile_assignment, pack_features_t
+
+    W, H = 1296, 840
+    TS = int(os.environ.get("LFS_BENCH_TS", 32))
+    CAP = 1_000_000
+    N0 = 600_000
+    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_500_000))
+    grid_w, grid_h = -(-W // TS), -(-H // TS)
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
+    col = rng.uniform(0, 1, (N0, 3)).astype(np.float32)
+    splats = SplatData(
+        means=jnp.asarray(np.pad(pos, ((0, CAP - N0), (0, 0)))),
+        sh0=jnp.asarray(np.pad(((col - 0.5) / 0.2821)[:, None, :], ((0, CAP - N0), (0, 0), (0, 0)))),
+        shN=jnp.zeros((CAP, 15, 3)),
+        scaling=jnp.full((CAP, 3), float(np.log(0.02))),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (CAP, 1)),
+        opacity=jnp.full((CAP, 1), 0.0),
+        n_active=jnp.asarray(N0, jnp.int32),
+        active_sh_degree=jnp.asarray(3, jnp.int32),
+        max_sh_degree=3,
+        scene_scale=3.0,
+    )
+    cam = look_at_camera(
+        np.array([0.0, 0.0, -8.0]), np.zeros(3), np.array([0.0, -1.0, 0.0]),
+        fx=1000.0, fy=1000.0, width=W, height=H,
+    ).device_params()
+
+    @jax.jit
+    def run():
+        proj = project_gaussians(
+            splats.means, splats.scaling, splats.rotation, splats.opacity,
+            splats.sh0, splats.shN, splats.active_mask(), splats.active_sh_degree,
+            cam.w2c, cam.cam_position, cam.K,
+            width=W, height=H, tile_size=TS, exact_tile_cap=16,
+        )
+        assignment = build_tile_assignment(
+            proj, grid_w=grid_w, grid_h=grid_h, instance_cap=ICAP,
+            chunk_align=1, need_grad=True,
+        )
+        out, _ = _blend_gathered_fwd(
+            pack_features_t(proj), assignment.gaussian_idx,
+            assignment.slot_layout, assignment.instance_valid, proj.n_touched,
+            (assignment.tile_start, assignment.tile_count),
+            grid_w, grid_h, TS, assignment.source_cap, assignment.chunk,
+        )
+        return out[:, 5, 0], out[:, 6, 0]
+
+    walked, total = jax.block_until_ready(run())
+    walked = np.asarray(walked)
+    total = np.asarray(total)
+    live = total > 0
+    w, t = walked[live], total[live]
+    print(f"tiles: {live.sum()} live / {total.size}")
+    print(f"chunks: walked {w.sum():.0f} / total {t.sum():.0f} "
+          f"({100 * w.sum() / t.sum():.1f}% walked)")
+    print(f"per-tile walked: mean {w.mean():.2f}  p50 {np.percentile(w, 50):.0f}"
+          f"  p90 {np.percentile(w, 90):.0f}  max {w.max():.0f}")
+    print(f"per-tile total:  mean {t.mean():.2f}  p50 {np.percentile(t, 50):.0f}"
+          f"  p90 {np.percentile(t, 90):.0f}  max {t.max():.0f}")
+    # how much of the walk is spent past the point where MOST pixels are done
+    # is not observable from these rows; this is the tile-max signal only.
+
+
+if __name__ == "__main__":
+    main()
