@@ -54,8 +54,10 @@ def main():
         fx=1000.0, fy=1000.0, width=W, height=H,
     ).device_params()
 
+    # splats/cam as ARGS: the closure form constant-folds the binning at
+    # compile time (PERFNOTES r4 compile-time section)
     @jax.jit
-    def prep():
+    def prep(splats, cam):
         proj = project_gaussians(
             splats.means, splats.scaling, splats.rotation, splats.opacity,
             splats.sh0, splats.shN, splats.active_mask(), splats.active_sh_degree,
@@ -68,7 +70,7 @@ def main():
         )
         return pack_features_t(proj), assignment, proj.n_touched
 
-    packed_t, assignment, n_touched = jax.block_until_ready(prep())
+    packed_t, assignment, n_touched = jax.block_until_ready(prep(splats, cam))
 
     def run(label):
         def fwd(p, asg, nt):

@@ -58,8 +58,11 @@ def main():
         fx=1000.0, fy=1000.0, width=W, height=H,
     ).device_params()
 
+    # splats/cam as jit ARGS, not closures (closure form constant-folds the
+    # whole binning on the compile host: 158 MB executables, minutes of
+    # compile — PERFNOTES r4 compile-time section)
     @jax.jit
-    def prep():
+    def prep(splats, cam):
         proj = project_gaussians(
             splats.means, splats.scaling, splats.rotation, splats.opacity,
             splats.sh0, splats.shN, splats.active_mask(), splats.active_sh_degree,
@@ -72,7 +75,7 @@ def main():
         )
         return pack_features_t(proj), assignment, proj.n_touched
 
-    packed_t, assignment, n_touched = jax.block_until_ready(prep())
+    packed_t, assignment, n_touched = jax.block_until_ready(prep(splats, cam))
     print("n_instances:", int(assignment.n_instances), flush=True)
 
     EXACT = os.environ.get("LFS_PROF_EXACT", "1") == "1"

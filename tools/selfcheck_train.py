@@ -73,18 +73,30 @@ def main():
     # multi-view quality run whose final PSNR/SSIM is published in README);
     # the default 2000 is the fast regression gate.
     iters = int(os.environ.get("LFS_SELFCHECK_ITERS", 2000))
+    # LFS_SELFCHECK_STRATEGY=default runs the same protocol with the ADC
+    # strategy (reference default_strategy.cpp) — used to publish the 30k
+    # ADC quality number alongside the MCMC one (VERDICT r3 item 5a)
+    strategy = os.environ.get("LFS_SELFCHECK_STRATEGY", "mcmc")
     evals = [str(max(iters // 4, 1)), str(iters)]
     stop_refine = int(iters * 0.9)
-    params = parse_args_and_params([
+    argv = [
         "-d", str(scene), "-o", str(root / "out"), "--headless", "--eval",
         "--test-every", "8", "--iterations", str(iters),
         "--eval-steps", *evals, "--save-steps", str(iters),
         "--max-cap", "200000", "--instance-cap", str(2**21),
+        "--strategy", strategy,
         "--start-refine", "300", "--stop-refine", str(stop_refine),
         "--refine-every", "100",
         "--sh-degree", "3", "--random",
         "--init-num-pts", "20000",
-    ])
+    ]
+    if strategy == "default":
+        # ADC grows by split/clone: start small so growth fits max-cap, and
+        # keep opacity resets on the reference 3k cadence (scaled in at
+        # short protocol lengths so the fast gate still exercises one reset)
+        argv += ["--reset-every", str(min(3000, max(iters // 2, 1)))]
+        argv[argv.index("--init-num-pts") + 1] = "10000"
+    params = parse_args_and_params(argv)
     trainer = Trainer.setup(params)
     t0 = time.time()
     stats = trainer.train()

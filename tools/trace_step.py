@@ -66,7 +66,13 @@ def main():
     lrs = make_lrs(1.6e-5, 2.5e-3, 5e-3, 1e-3, 0.05, splats.scene_scale)
     state = init_train_state(splats, lrs, seed=0)
 
-    f = jax.jit(lambda st: train_step(st, cam, gt, bg, cfg, StepFlags()))
+    # cam/gt/bg as ARGS, not closures: closed-over arrays become compile-time
+    # constants and XLA constant-folds everything derived from them on the
+    # 1-core compile host — measured 870 MB executable / ~5 min compile for
+    # the closure form of this very wrapper vs 17 MB for the arg form
+    # (PERFNOTES r4 ledger, compile-time section).
+    jf = jax.jit(lambda st, c, g, b: train_step(st, c, g, b, cfg, StepFlags()))
+    f = lambda st: jf(st, cam, gt, bg)
     state2, m = f(state)
     _ = float(m["loss"])
 

@@ -57,8 +57,11 @@ def main():
         fx=1000.0, fy=1000.0, width=W, height=H,
     ).device_params()
 
+    # splats/cam as jit ARGS (closed-over arrays constant-fold the whole
+    # binning on the compile host: 158 MB executables, minutes of compile —
+    # PERFNOTES r4 compile-time section)
     @jax.jit
-    def run():
+    def run(splats, cam):
         proj = project_gaussians(
             splats.means, splats.scaling, splats.rotation, splats.opacity,
             splats.sh0, splats.shN, splats.active_mask(), splats.active_sh_degree,
@@ -75,9 +78,17 @@ def main():
             (assignment.tile_start, assignment.tile_count),
             grid_w, grid_h, TS, assignment.source_cap, assignment.chunk,
         )
-        return out[:, 5, 0], out[:, 6, 0]
+        # dead-chunk upper bound: instances binned through the CONSERVATIVE
+        # bbox path (footprint > exact_tile_cap cells) are the only ones that
+        # can contribute NOTHING to their tile — everything else passed the
+        # exact per-tile contribution test (ops/projection.py:208-237), so a
+        # chunk of exact-tested instances can never be fully dead.
+        conservative = jnp.sum(
+            jnp.where(proj.valid & (proj.tile_mask == 0), proj.n_touched, 0)
+        )
+        return out[:, 5, 0], out[:, 6, 0], conservative, jnp.sum(proj.n_touched)
 
-    walked, total = jax.block_until_ready(run())
+    walked, total, n_cons, n_inst = jax.block_until_ready(run(splats, cam))
     walked = np.asarray(walked)
     total = np.asarray(total)
     live = total > 0
@@ -89,6 +100,8 @@ def main():
           f"  p90 {np.percentile(w, 90):.0f}  max {w.max():.0f}")
     print(f"per-tile total:  mean {t.mean():.2f}  p50 {np.percentile(t, 50):.0f}"
           f"  p90 {np.percentile(t, 90):.0f}  max {t.max():.0f}")
+    print(f"conservatively-binned instances (dead-chunk upper bound): "
+          f"{int(n_cons)} / {int(n_inst)} ({100 * int(n_cons) / max(int(n_inst), 1):.2f}%)")
     # how much of the walk is spent past the point where MOST pixels are done
     # is not observable from these rows; this is the tile-max signal only.
 
