@@ -62,6 +62,26 @@ IN_SLOTS = 4  # input-stream prefetch depth. Measured: depth 2 -> 4 changed
 #   nothing (the kernels were never DMA-latency stalled — PERFNOTES round-3
 #   ledger); kept at 4 because the extra slots are free VMEM.
 OUT_SLOTS = 4  # backward writeback rotation depth
+# sub-chunks processed per while-loop body. UNROLL=2 traces two sub-chunks
+# as independent instruction streams inside one body (they couple only
+# through the scalar-row transmittance seed) to give Mosaic dual-issue
+# material and halve the loop/DMA skeleton. MEASURED NULL on v5e (PERFNOTES
+# round-4 ledger: fwd 18.6 vs 17.7, fwd+bwd 51.8 vs 49.9, bit-identical
+# outputs) — the per-chunk wall is not dependency stalls the scheduler can
+# fill. Default stays 1; the path is kept (tested in interpret mode) for
+# sweeps on other TPU generations.
+UNROLL = int(_os.environ.get("LFS_BLEND_UNROLL", "1"))
+# Backward chunk-trim threshold (the reference's per-bucket max-contribution
+# skip, kernels_forward.cuh:443-455 / kernels_backward.cuh bucket gate): the
+# forward records, per chunk, max_p(T_entry - T_exit) — an upper bound on any
+# blending weight in the chunk — and the backward walks only up to the LAST
+# chunk whose bound >= eps. Gradients of the trimmed tail (every weight
+# < 1/255, i.e. under the reference's own alpha-discard threshold) are zero-
+# filled. 0 disables the trim (exact full replay).
+GRAD_SKIP_EPS = float(_os.environ.get("LFS_GRAD_SKIP_EPS", str(1.0 / 255.0)))
+# slot disjointness between the current and prefetched step needs
+# IN_SLOTS >= 2*unroll (step s uses slots [s*u, s*u+u) mod IN_SLOTS)
+assert UNROLL in (1, 2), f"LFS_BLEND_UNROLL must be 1 or 2, got {UNROLL}"
 FEAT_ROWS_IN = 8  # streamed instance features (colors bf16-packed)
 # backward per-instance gradient rows: 0-5 geometry (FULL f32 — an
 # all-bf16-pairs variant measured 0.3 dB PSNR loss on the 2k-iter selfcheck,
@@ -256,6 +276,7 @@ def _forward_kernel(
     exact_alpha: bool = True,
     freeze: bool = True,
     chunk: int = CHUNK,
+    unroll: int = 1,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
@@ -275,6 +296,10 @@ def _forward_kernel(
         base = pl.multiple_of(start - off, chunk)
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
+    # the while loop walks STEPS of `unroll` sub-chunks; the trailing
+    # phantom sub-chunk of an odd tail is fully masked (alpha = 0) and its
+    # DMA reads the >= unroll*chunk instance-axis padding
+    n_steps = pl.cdiv(end_rel, chunk * unroll)
     basis, cx, cy = _tile_basis(t, grid_w, tile_size, n_pix)
 
     def dma(slot, ci):
@@ -284,21 +309,21 @@ def _forward_kernel(
             sem.at[slot],
         )
 
-    # PREFETCH DEPTH: measured ablations (PERFNOTES r3) show the kernel is
-    # NEITHER DMA-latency nor VPU-pass bound — IN_SLOTS 2 -> 4 changed
-    # nothing, and deleting the prefix scan or the exp2 changes nothing; the
-    # ~2.6 us per-chunk wall is distributed VLIW/vreg-loop overhead across
-    # ~20 short vector ops. IN_SLOTS stays at 4 because the slots are free.
-    for k in range(IN_SLOTS - 1):
-        @pl.when(k < n_chunks)
-        def _(k=k):
-            dma(k, k).start()
+    # one-step-ahead prefetch (unroll sub-chunks in flight). Measured
+    # ablations (PERFNOTES r3) show the kernel is NEITHER DMA-latency nor
+    # VPU-pass bound — prefetch depth 2 -> 4 changed nothing; the ~2.6 us
+    # per-chunk wall is dependency-stall/VLIW overhead, which is what the
+    # unrolled body attacks.
+    for j in range(unroll):
+        @pl.when(n_steps > 0)
+        def _(j=j):
+            dma(j, j).start()
 
     def cond(carry):
         # t_run is monotone non-increasing, so this terminates as soon as
         # every pixel in the tile saturates (the reference's `done` ballot)
-        ci, t_run, _ = carry
-        return (ci < n_chunks) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
+        si, t_run, _, _ = carry
+        return (si < n_steps) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
 
     def body(carry):
         # t_run [1, P]: the UNFROZEN running product of (1-alpha) — the
@@ -314,88 +339,109 @@ def _forward_kernel(
         # ones in the color matmul accumulates it for free on the MXU. This
         # deletes the old per-chunk freeze bookkeeping (select + min-reduce
         # + broadcast, ~3 VPU passes) and one carry array.
-        ci, t_run, acc = carry
-        slot = ci % IN_SLOTS
+        # contrib_row [1, P]: lane ci holds max_p(T_entry - T_exit) for chunk
+        # ci — the telescoped per-pixel total blending weight of the chunk,
+        # maxed over pixels. An upper bound on every weight inside the chunk,
+        # recorded for the backward's tail trim (GRAD_SKIP_EPS); costs one
+        # [1, P] subtract + max-reduce + select per chunk (~free next to the
+        # [CHUNK, P] work).
+        si, t_run, acc, contrib_row = carry
 
-        @pl.when(ci + IN_SLOTS - 1 < n_chunks)
+        @pl.when(si + 1 < n_steps)
         def _():
-            dma((ci + IN_SLOTS - 1) % IN_SLOTS, ci + IN_SLOTS - 1).start()
+            for j in range(unroll):
+                ci_n = (si + 1) * unroll + j
+                dma(ci_n % IN_SLOTS, ci_n).start()
 
-        dma(slot, ci).wait()
-        f = feat_s[slot]  # [8, CHUNK]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        if aligned:
-            in_range = lane < count - ci * chunk
-        else:
-            gi = ci * chunk + lane
-            in_range = (gi >= off) & (gi < end_rel)
-        # inference renders accept the 3-pass split (|dalpha| ~ 1e-3 worst
-        # case, below the viewer's u8 quantization step of 1/255); training
-        # forwards stay exact for the loss and the compiled-parity gate
-        alpha, _, _ = _alpha_mxu(
-            f, basis, cx, cy, in_range, exact=exact_alpha
-        )  # [CHUNK, P]
-
-        prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
-        p_incl = t_run * prod_incl
-        # exclusive chain = inclusive shifted down one row, seeded by the
-        # carry — ONE copy instead of a pad-shift plus a multiply
-        t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
-        # w = t_before * alpha, computed as the telescoping difference
-        # (exact in real arithmetic; float error ~eps/alpha_min ~ 2e-5 rel)
-        if freeze:
-            # reference done-flag semantics: the counted set is the strict
-            # per-pixel prefix with transmittance >= the threshold
-            counted = p_incl >= TRANSMITTANCE_THRESHOLD
-            w = jnp.where(counted, t_before - p_incl, 0.0)  # [CHUNK, P]
-        else:
-            # inference: skip the freeze cut — post-crossing contributions
-            # carry weight < 1e-4, under the viewer's u8 step
-            w = t_before - p_incl  # [CHUNK, P]
-
-        colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK], fetch-time clamp
-        # row 4 = ones: accumulates sum(w) -> frozen T = 1 - acc[4]
-        colors5 = jnp.concatenate(
-            [colors, jnp.ones((1, chunk), jnp.float32)], axis=0
-        )  # [5, CHUNK]
         dotc = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if freeze:
-            # colors are exactly bf16 by construction (and the ones row
-            # exactly), so splitting only w gives an f32-faithful image in
-            # TWO single-pass matmuls (vs 6 at HIGHEST)
-            w_hi, w_lo = _bf16_split(w)
-            acc = acc + dotc(colors5, w_hi) + dotc(colors5, w_lo)  # [5, P]
-        else:
-            # inference: ONE default-precision pass — w's bf16 truncation is
-            # a 2^-9 relative rounding on each weight, the same order as the
-            # viewer's u8 quantization step (1/255); drops a matmul and the
-            # 2-pass split per chunk
-            acc = acc + dotc(colors5, w)  # [5, P]
 
-        t_last = p_incl[chunk - 1 : chunk, :]
-        return ci + 1, t_last, acc
+        # the unroll sub-chunks are traced as independent instruction
+        # streams (they couple only through the [1, P] transmittance seed),
+        # so Mosaic can interleave their dependent-op chains
+        for j in range(unroll):
+            ci = si * unroll + j
+            dma(ci % IN_SLOTS, ci).wait()
+            f = feat_s[ci % IN_SLOTS]  # [8, CHUNK]
 
-    ci_end, _, acc = jax.lax.while_loop(
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            if aligned:
+                in_range = lane < count - ci * chunk
+            else:
+                gi = ci * chunk + lane
+                in_range = (gi >= off) & (gi < end_rel)
+            # inference renders accept the 3-pass split (|dalpha| ~ 1e-3
+            # worst case, below the viewer's u8 quantization step of 1/255);
+            # training forwards stay exact for the loss and the
+            # compiled-parity gate
+            alpha, _, _ = _alpha_mxu(
+                f, basis, cx, cy, in_range, exact=exact_alpha
+            )  # [CHUNK, P]
+
+            prod_incl = _prefix_prod_rows(1.0 - alpha)  # [CHUNK, P]
+            p_incl = t_run * prod_incl
+            # exclusive chain = inclusive shifted down one row, seeded by
+            # the carry — ONE copy instead of a pad-shift plus a multiply
+            t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
+            # w = t_before * alpha, computed as the telescoping difference
+            # (exact in real arithmetic; float error ~eps/alpha_min ~ 2e-5)
+            if freeze:
+                # reference done-flag semantics: the counted set is the
+                # strict per-pixel prefix with transmittance >= threshold
+                counted = p_incl >= TRANSMITTANCE_THRESHOLD
+                w = jnp.where(counted, t_before - p_incl, 0.0)  # [CHUNK, P]
+            else:
+                # inference: skip the freeze cut — post-crossing
+                # contributions carry weight < 1e-4, under the u8 step
+                w = t_before - p_incl  # [CHUNK, P]
+
+            colors = jnp.maximum(_unpack_colors(f), 0.0)  # [4, CHUNK]
+            # row 4 = ones: accumulates sum(w) -> frozen T = 1 - acc[4]
+            colors5 = jnp.concatenate(
+                [colors, jnp.ones((1, chunk), jnp.float32)], axis=0
+            )  # [5, CHUNK]
+            if freeze:
+                # colors are exactly bf16 by construction (and the ones row
+                # exactly), so splitting only w gives an f32-faithful image
+                # in TWO single-pass matmuls (vs 6 at HIGHEST)
+                w_hi, w_lo = _bf16_split(w)
+                acc = acc + dotc(colors5, w_hi) + dotc(colors5, w_lo)
+            else:
+                # inference: ONE default-precision pass — w's bf16
+                # truncation is a 2^-9 relative rounding on each weight,
+                # the same order as the viewer's u8 quantization step
+                acc = acc + dotc(colors5, w)  # [5, P]
+
+            t_exit = p_incl[chunk - 1 : chunk, :]
+            if freeze:
+                contrib = jnp.max(t_run - t_exit)  # scalar
+                lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
+                ci_cl = jnp.minimum(ci, n_pix - 1)
+                contrib_row = jnp.where(lane_p == ci_cl, contrib, contrib_row)
+            t_run = t_exit
+
+        return si + 1, t_run, acc, contrib_row
+
+    si_end, _, acc, contrib_row = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(0, jnp.int32),
             jnp.ones((1, n_pix), jnp.float32),
             jnp.zeros((5, n_pix), jnp.float32),
+            jnp.zeros((1, n_pix), jnp.float32),
         ),
     )
 
-    # early exit leaves up to IN_SLOTS-1 prefetches in flight — consume them
+    # early exit leaves one step's prefetches in flight — consume them
     # or the DMA semaphores are imbalanced at program end (device-fatal)
-    for j in range(IN_SLOTS - 1):
-        @pl.when(ci_end + j < n_chunks)
+    for j in range(unroll):
+        @pl.when(si_end < n_steps)
         def _(j=j):
-            dma((ci_end + j) % IN_SLOTS, ci_end + j).wait()
+            dma((si_end * unroll + j) % IN_SLOTS, si_end * unroll + j).wait()
 
     out_ref[0, 0:4, :] = acc[0:4]
     # telescoped frozen transmittance: T = 1 - sum(counted weights)
@@ -404,14 +450,20 @@ def _forward_kernel(
     # chunks for this tile — the early-termination effectiveness signal
     # consumed by tools/walk_stats.py. Row 5 is REWRITTEN by the backward
     # caller (g_aug carries CG_final there), never read from the fwd output.
-    out_ref[0, 5, :] = jnp.broadcast_to(ci_end.astype(jnp.float32), (n_pix,))
+    walked = jnp.minimum(si_end * unroll, n_chunks)
+    out_ref[0, 5, :] = jnp.broadcast_to(walked.astype(jnp.float32), (n_pix,))
     out_ref[0, 6, :] = jnp.broadcast_to(n_chunks.astype(jnp.float32), (n_pix,))
-    out_ref[0, 7, :] = jnp.zeros((n_pix,), jnp.float32)
+    # row 7: lane ci = chunk ci's max contribution bound (freeze path only;
+    # zeros for inference). Consumed by the backward caller's tail trim and
+    # tools/walk_stats.py. Row 5/7 are REWRITTEN in the backward cotangent
+    # (g_aug), never read from the fwd output there.
+    out_ref[0, 7, :] = contrib_row[0]
 
 
 def _backward_kernel(
     tile_start_ref,
     tile_count_ref,
+    tile_neff_ref,  # [T] int32 — chunks to walk (tail trim, GRAD_SKIP_EPS)
     feat_hbm,  # [8, I+pad] ANY (colors bf16-packed in rows 6-7)
     gout_ref,  # [1, 8, P] VMEM — cotangents (rows 0-3 channels, row 4 T_final)
     tfin_ref,  # [1, 1, P] VMEM — forward T_final
@@ -427,6 +479,7 @@ def _backward_kernel(
     tile_size: int,
     aligned: bool,
     chunk: int = CHUNK,
+    unroll: int = 1,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
@@ -451,6 +504,16 @@ def _backward_kernel(
         base = pl.multiple_of(start - off, chunk)
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
+    # step = `unroll` sub-chunks per loop body (see the forward kernel); a
+    # trailing phantom sub-chunk is fully masked, computes zero gradients,
+    # and writes into the >= unroll*chunk output padding
+    n_steps_full = pl.cdiv(end_rel, chunk * unroll)
+    # tail trim: the forward recorded per-chunk max-contribution bounds; the
+    # caller reduced them to "last chunk worth replaying" (>= 1 so the
+    # unaligned head-boundary merge always runs — zbody alone would clobber
+    # the previous tile's lanes in the shared boundary chunk). Chunks past
+    # the trim are zero-filled by zbody, exactly like early-terminated ones.
+    n_steps = jnp.minimum(n_steps_full, pl.cdiv(tile_neff_ref[t], unroll))
     # tile-centered pixel moment basis: shared by the MXU alpha evaluation
     # and the geometry-gradient moment contraction (loop-invariant)
     basis, cx, cy = _tile_basis(t, grid_w, tile_size, n_pix)
@@ -478,11 +541,12 @@ def _backward_kernel(
             dfeat_hbm.at[:, pl.ds(base, chunk)], head_s, headsem
         )
 
-    # IN_SLOTS-deep input prefetch (DMA-latency bound, see forward kernel)
-    for k in range(IN_SLOTS - 1):
-        @pl.when(k < n_chunks)
-        def _(k=k):
-            dma_in(k, k).start()
+    # one-step-ahead input prefetch (unroll sub-chunks in flight; depth was
+    # measured irrelevant — see forward kernel)
+    for j in range(unroll):
+        @pl.when(n_steps > 0)
+        def _(j=j):
+            dma_in(j, j).start()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -510,157 +574,169 @@ def _backward_kernel(
     def cond(carry):
         # t_run (unfrozen chain) is monotone non-increasing — terminates
         # when every pixel saturates, exactly like the forward pass
-        ci, t_run, _ = carry
-        return (ci < n_chunks) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
+        si, t_run, _ = carry
+        return (si < n_steps) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
 
     def body(carry):
         # t_run: UNFROZEN running (1-alpha) product (see forward kernel) —
         # keeps the replayed counted set a strict prefix, identical to the
         # forward's. a_run [1, P]: cumulative sum w*cg so far.
-        ci, t_run, a_run = carry
-        slot = ci % IN_SLOTS
+        si, t_run, a_run = carry
 
-        @pl.when(ci + IN_SLOTS - 1 < n_chunks)
+        @pl.when(si + 1 < n_steps)
         def _():
-            dma_in((ci + IN_SLOTS - 1) % IN_SLOTS, ci + IN_SLOTS - 1).start()
+            for j in range(unroll):
+                ci_n = (si + 1) * unroll + j
+                dma_in(ci_n % IN_SLOTS, ci_n).start()
 
-        dma_in(slot, ci).wait()
-        f = feat_s[slot]
+        # unroll sub-chunks traced as independent instruction streams (they
+        # couple only through the [1, P] transmittance / wcg-sum seeds), so
+        # Mosaic can interleave their dependent-op chains — see fwd kernel
+        for j in range(unroll):
+            ci = si * unroll + j
+            dma_in(ci % IN_SLOTS, ci).wait()
+            f = feat_s[ci % IN_SLOTS]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        if aligned:
-            in_range_col = lane < count - ci * chunk
-        else:
-            gi = ci * chunk + lane
-            in_range_col = (gi >= off) & (gi < end_rel)
-        # exact (HIGHEST) alpha: the [6, CHUNK] contraction is tiny, so the
-        # 6-pass precision is ~free here (measured), and it keeps the replay
-        # masks bit-identical with the forward pass
-        alpha, s, nlog_op_col = _alpha_mxu(f, basis, cx, cy, in_range_col)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            if aligned:
+                in_range_col = lane < count - ci * chunk
+            else:
+                gi = ci * chunk + lane
+                in_range_col = (gi >= off) & (gi < end_rel)
+            # exact (HIGHEST) alpha: the [6, CHUNK] contraction is tiny, so
+            # the 6-pass precision is ~free here (measured), and it keeps
+            # the replay masks bit-identical with the forward pass
+            alpha, s, nlog_op_col = _alpha_mxu(f, basis, cx, cy, in_range_col)
 
-        prod_incl = _prefix_prod_rows(1.0 - alpha)
-        p_incl = t_run * prod_incl
-        counted = p_incl >= TRANSMITTANCE_THRESHOLD
-        # exclusive chain = inclusive shifted one row, seeded by the carry —
-        # one copy instead of pad-shift + multiply (mirrors the forward)
-        t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
-        w = jnp.where(counted, t_before - p_incl, 0.0)
+            prod_incl = _prefix_prod_rows(1.0 - alpha)
+            p_incl = t_run * prod_incl
+            counted = p_incl >= TRANSMITTANCE_THRESHOLD
+            # exclusive chain = inclusive shifted one row, seeded by the
+            # carry — one copy instead of pad-shift + multiply
+            t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
+            w = jnp.where(counted, t_before - p_incl, 0.0)
 
-        raw_colors = _unpack_colors(f)  # [4, CHUNK]
-        colors = jnp.maximum(raw_colors, 0.0)
+            raw_colors = _unpack_colors(f)  # [4, CHUNK]
+            colors = jnp.maximum(raw_colors, 0.0)
 
-        # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p].
-        # DEFAULT (single-pass bf16) precision on the two color-cotangent
-        # matmuls: colors already enter as bf16 and dcolor is STORED as bf16
-        # pairs, so the 2^-8 relative input rounding adds no new error class
-        # (gradient-noise dominated); HIGHEST would stream the big [CHUNK,P]
-        # operand six times.
-        dcolor = jax.lax.dot_general(
-            g_img, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4, CHUNK]
-        # clamp max(c,0): zero grad where c < 0
-        dcolor = jnp.where(raw_colors > 0.0, dcolor, 0.0)
+            # color gradient: dL/dc[ch, i] = sum_p w[i,p] g_img[ch,p].
+            # DEFAULT (single-pass bf16) precision on the two
+            # color-cotangent matmuls: colors already enter as bf16 and
+            # dcolor is STORED as bf16 pairs, so the 2^-8 relative input
+            # rounding adds no new error class (gradient-noise dominated);
+            # HIGHEST would stream the big [CHUNK,P] operand six times.
+            dcolor = jax.lax.dot_general(
+                g_img, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [4, CHUNK]
+            # clamp max(c,0): zero grad where c < 0
+            dcolor = jnp.where(raw_colors > 0.0, dcolor, 0.0)
 
-        # cg[i, p] = c_i . g_img[:, p]
-        cg = jax.lax.dot_general(
-            colors, g_img, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [CHUNK, P]
+            # cg[i, p] = c_i . g_img[:, p]
+            cg = jax.lax.dot_general(
+                colors, g_img, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [CHUNK, P]
 
-        wcg = w * cg
-        a_incl = a_run + _prefix_sum_rows(wcg)  # [CHUNK, P] inclusive A_i
+            wcg = w * cg
+            a_incl = a_run + _prefix_sum_rows(wcg)  # [CHUNK, P] inclusive
 
-        # d(loss)/d(sigma2) = -alpha * dalpha with
-        #   dalpha = t_before*cg - (r0 - a_incl)/(1-alpha)
-        # expanded so the first term reuses wcg (w == t_before*alpha within
-        # `counted`, and `live` below is a subset of `counted`):
-        #   u = alpha/(1-alpha) * (r0 - a_incl) - wcg
-        # — two fewer [CHUNK, P] passes than forming dalpha then scaling.
-        # T_final = prod(1-a): dT/da_i = -T/(1-a_i), folded into r0.
-        # No epsilon guard: alpha is clamped at MAX_FRAGMENT_ALPHA=0.999
-        # (or masked to 0), so 1-alpha >= 1e-3 always.
-        # `live` zeroes rows clamped at 0.999 (s > -log(0.999) <=> alpha_raw
-        # < 0.999, the clamp gate) and rows outside the counted prefix.
-        live = (s > -_LOG2_MAX_FRAGMENT) & counted
-        u = jnp.where(
-            live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
-        )  # d(loss)/d(sigma2)
+            # d(loss)/d(sigma2) = -alpha * dalpha with
+            #   dalpha = t_before*cg - (r0 - a_incl)/(1-alpha)
+            # expanded so the first term reuses wcg (w == t_before*alpha
+            # within `counted`, and `live` below is a subset of `counted`):
+            #   u = alpha/(1-alpha) * (r0 - a_incl) - wcg
+            # — two fewer [CHUNK, P] passes than forming dalpha then
+            # scaling. T_final = prod(1-a): dT/da_i = -T/(1-a_i), folded
+            # into r0. No epsilon guard: alpha is clamped at
+            # MAX_FRAGMENT_ALPHA=0.999 (or masked to 0), so 1-alpha >= 1e-3.
+            # `live` zeroes rows clamped at 0.999 (s > -log(0.999) <=>
+            # alpha_raw < 0.999, the clamp gate) and rows outside the
+            # counted prefix.
+            live = (s > -_LOG2_MAX_FRAGMENT) & counted
+            u = jnp.where(
+                live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
+            )  # d(loss)/d(sigma2)
 
-        # --- geometry gradients via ONE moment matmul ---------------------
-        # dx = mx - px is separable, so every per-pixel reduction
-        #   sum_p u * poly(dx, dy)
-        # is linear in the six moments M = u @ [1, px, py, px^2, px*py, py^2]
-        # (pixel coords TILE-CENTERED to keep the expansion cancellation
-        # benign). This replaces six [CHUNK, P] VPU rowsum chains with one
-        # [CHUNK, P] x [P, 6] MXU contraction — the backward kernel is VPU
-        # compute-bound, so cutting per-pixel polynomial work is the lever.
-        # d_op rides the same moments: within `live`, g = alpha / op, so
-        # sum_p dalpha * g = -(sum_p u) / op = -S0 / op.
-        # [6, CHUNK] orientation: instances stay on the LANE axis so the
-        # row extracts below are plain sublane reads (no relayout)
-        # 3-pass bf16 split (~16 mantissa bits): this contraction runs over
-        # P=1024 so precision passes multiply REAL work (the single hot
-        # matmul of the replay, measured ~6 ms/step at HIGHEST). The
-        # d_ca/d_cb/d_cc recombination cancels ~tile_r^2, amplifying the
-        # 2^-16 split error to ~2^-9 worst-case on conic grads — validated
-        # against the selfcheck PSNR/SSIM trajectory (geometry-grad
-        # precision is the known 0.3 dB hazard at the 2^-8 level).
-        mom = _dot3(basis, u, (((1,), (1,)), ((), ())))  # [6, CHUNK]
-        s0 = mom[0, :]
-        sx = mom[1, :]
-        sy = mom[2, :]
-        sxx = mom[3, :]
-        sxy = mom[4, :]
-        syy = mom[5, :]
-        ca = f[2, :]
-        cb = f[3, :]
-        cc = f[4, :]
-        op = f[5, :]
-        mxc = f[0, :] - cx  # tile-centered means [CHUNK]
-        myc = f[1, :] - cy
-        ex = mxc * s0 - sx  # sum_p u * dx
-        ey = myc * s0 - sy
-        d_mx = ca * ex + cb * ey
-        d_my = cc * ey + cb * ex
-        d_ca = 0.5 * (mxc * mxc * s0 - 2.0 * mxc * sx + sxx)
-        d_cb = mxc * myc * s0 - mxc * sy - myc * sx + sxy
-        d_cc = 0.5 * (myc * myc * s0 - 2.0 * myc * sy + syy)
-        d_op = -s0 / jnp.maximum(op, 1e-12)
+            # --- geometry gradients via ONE moment matmul -----------------
+            # dx = mx - px is separable, so every per-pixel reduction
+            #   sum_p u * poly(dx, dy)
+            # is linear in the six moments M = u @ [1,px,py,px^2,px*py,py^2]
+            # (pixel coords TILE-CENTERED to keep the expansion cancellation
+            # benign). This replaces six [CHUNK, P] VPU rowsum chains with
+            # one [CHUNK, P] x [P, 6] MXU contraction — the backward kernel
+            # is VPU compute-bound, so cutting per-pixel polynomial work is
+            # the lever. d_op rides the same moments: within `live`,
+            # g = alpha / op, so sum_p dalpha * g = -(sum_p u)/op = -S0/op.
+            # [6, CHUNK] orientation: instances stay on the LANE axis so the
+            # row extracts below are plain sublane reads (no relayout).
+            # 3-pass bf16 split (~16 mantissa bits): this contraction runs
+            # over P=1024 so precision passes multiply REAL work (the single
+            # hot matmul of the replay, measured ~6 ms/step at HIGHEST). The
+            # d_ca/d_cb/d_cc recombination cancels ~tile_r^2, amplifying the
+            # 2^-16 split error to ~2^-9 worst-case on conic grads —
+            # validated against the selfcheck PSNR/SSIM trajectory
+            # (geometry-grad precision is the known 0.3 dB hazard at 2^-8).
+            mom = _dot3(basis, u, (((1,), (1,)), ((), ())))  # [6, CHUNK]
+            s0 = mom[0, :]
+            sx = mom[1, :]
+            sy = mom[2, :]
+            sxx = mom[3, :]
+            sxy = mom[4, :]
+            syy = mom[5, :]
+            ca = f[2, :]
+            cb = f[3, :]
+            cc = f[4, :]
+            op = f[5, :]
+            mxc = f[0, :] - cx  # tile-centered means [CHUNK]
+            myc = f[1, :] - cy
+            ex = mxc * s0 - sx  # sum_p u * dx
+            ey = myc * s0 - sy
+            d_mx = ca * ex + cb * ey
+            d_my = cc * ey + cb * ex
+            d_ca = 0.5 * (mxc * mxc * s0 - 2.0 * mxc * sx + sxx)
+            d_cb = mxc * myc * s0 - mxc * sy - myc * sx + sxy
+            d_cc = 0.5 * (myc * myc * s0 - 2.0 * myc * sy + syy)
+            d_op = -s0 / jnp.maximum(op, 1e-12)
 
-        # OUT_SLOTS-rotated writeback: reclaim this slot's previous copy,
-        # fill, start — each copy gets OUT_SLOTS-1 compute bodies to finish
-        oslot = ci % OUT_SLOTS
+            # OUT_SLOTS-rotated writeback: reclaim this slot's previous
+            # copy, fill, start
+            oslot = ci % OUT_SLOTS
 
-        @pl.when(ci >= OUT_SLOTS)
-        def _():
-            dma_out(oslot, ci - OUT_SLOTS).wait()
-
-        dfeat_s[oslot, 0:6, :] = jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, d_op])
-        dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
-        dfeat_s[oslot, 7, :] = pack_bf16_pair(dcolor[2], dcolor[3])
-        if not aligned:
-            # head-boundary merge: lanes before `off` hold the PREVIOUS
-            # tile's gradients (written by the previous grid program, whose
-            # writebacks drained before this program started) — preserve
-            # them. Our own foreign-lane gradients are zero by construction,
-            # so the next tile symmetrically overwrites our trailing zeros.
-            @pl.when(ci == 0)
+            @pl.when(ci >= OUT_SLOTS)
             def _():
-                dma_head_read().wait()
-                lane_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (GRAD_ROWS_BUF, chunk), 1
-                )
-                dfeat_s[oslot] = jnp.where(
-                    lane_row >= off, dfeat_s[oslot], head_s[...]
-                )
-        dma_out(oslot, ci).start()
+                dma_out(oslot, ci - OUT_SLOTS).wait()
 
-        # the inclusive prefix's last row IS a_run + sum(wcg) — no extra reduce
-        a_new = a_incl[chunk - 1 : chunk, :]
-        return ci + 1, p_incl[chunk - 1 : chunk, :], a_new
+            dfeat_s[oslot, 0:6, :] = jnp.stack(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op]
+            )
+            dfeat_s[oslot, 6, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+            dfeat_s[oslot, 7, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+            if not aligned and j == 0:
+                # head-boundary merge: lanes before `off` hold the PREVIOUS
+                # tile's gradients (written by the previous grid program,
+                # whose writebacks drained before this program started) —
+                # preserve them. Our own foreign-lane gradients are zero by
+                # construction, so the next tile symmetrically overwrites
+                # our trailing zeros.
+                @pl.when(si == 0)
+                def _():
+                    dma_head_read().wait()
+                    lane_row = jax.lax.broadcasted_iota(
+                        jnp.int32, (GRAD_ROWS_BUF, chunk), 1
+                    )
+                    dfeat_s[oslot] = jnp.where(
+                        lane_row >= off, dfeat_s[oslot], head_s[...]
+                    )
+            dma_out(oslot, ci).start()
 
-    ci_end, _, _ = jax.lax.while_loop(
+            # the inclusive prefix's last row IS a_run + sum(wcg)
+            a_run = a_incl[chunk - 1 : chunk, :]
+            t_run = p_incl[chunk - 1 : chunk, :]
+
+        return si + 1, t_run, a_run
+
+    si_end, _, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -670,12 +746,16 @@ def _backward_kernel(
         ),
     )
 
-    # early exit leaves up to IN_SLOTS-1 input prefetches in flight —
-    # consume them or the DMA semaphores are imbalanced (device-fatal)
-    for j in range(IN_SLOTS - 1):
-        @pl.when(ci_end + j < n_chunks)
+    # early exit leaves one step's input prefetches in flight — consume
+    # them or the DMA semaphores are imbalanced (device-fatal)
+    for j in range(unroll):
+        @pl.when(si_end < n_steps)
         def _(j=j):
-            dma_in((ci_end + j) % IN_SLOTS, ci_end + j).wait()
+            dma_in((si_end * unroll + j) % IN_SLOTS, si_end * unroll + j).wait()
+
+    # chunks written by the walk (a full walk writes the phantom tail chunk
+    # too — zero grads into the >= unroll*chunk output padding)
+    ci_end = jnp.where(si_end == n_steps, n_steps * unroll, si_end * unroll)
 
     # Zero-fill gradient chunks skipped by early termination (the output HBM
     # buffer is uninitialized memory otherwise), continuing the slot rotation.
@@ -690,19 +770,21 @@ def _backward_kernel(
         dma_out(oslot, ci).start()
         return ci + 1
 
-    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, ci_end)
+    n_written = jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, ci_end)
 
     # drain outstanding writebacks before the program ends
     for j in range(1, OUT_SLOTS + 1):
-        @pl.when(n_chunks >= j)
+        @pl.when(n_written >= j)
         def _(j=j):
-            dma_out((n_chunks - j) % OUT_SLOTS, n_chunks - j).wait()
+            dma_out((n_written - j) % OUT_SLOTS, n_written - j).wait()
 
 
 def _pad_feat(feat: jax.Array) -> jax.Array:
-    """Pad the instance axis so chunked DMA never reads out of bounds."""
+    """Pad the instance axis so chunked DMA never reads out of bounds
+    (2*CHUNK floor covers the unrolled walk's phantom tail sub-chunk for
+    any kernel chunk <= CHUNK at UNROLL <= 2)."""
     i = feat.shape[1]
-    pad = (-i) % CHUNK + CHUNK
+    pad = (-i) % CHUNK + 2 * CHUNK
     return jnp.pad(feat, ((0, 0), (0, pad)))
 
 
@@ -732,7 +814,7 @@ def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
     n_pix = tile_size * tile_size
     kernel = functools.partial(
         _forward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
-        exact_alpha=exact_alpha, freeze=freeze, chunk=chunk,
+        exact_alpha=exact_alpha, freeze=freeze, chunk=chunk, unroll=UNROLL,
     )
     return pl.pallas_call(
         kernel,
@@ -768,14 +850,31 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     )
     t_final = out[:, 4:5, :]
 
+    # tail trim (GRAD_SKIP_EPS): fwd row 7 lane ci = chunk ci's contribution
+    # bound. n_eff = 1 + last significant lane, floored at 1 (the unaligned
+    # boundary merge must run). Tiles deeper than n_pix chunks overflowed the
+    # lane diagnostics — replay those fully.
+    if GRAD_SKIP_EPS > 0.0:
+        contrib = out[:, 7, :]  # [T, P]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+        n_eff = jnp.max(
+            jnp.where(contrib >= GRAD_SKIP_EPS, lanes + 1, 0), axis=1
+        )
+        n_eff = jnp.maximum(n_eff, 1)
+        n_eff = jnp.where(
+            out[:, 6, 0] > float(n_pix), jnp.int32(2**30), n_eff
+        ).astype(jnp.int32)
+    else:
+        n_eff = jnp.full((num_tiles,), 2**30, jnp.int32)
+
     kernel = functools.partial(
         _backward_kernel, grid_w=grid_w, tile_size=tile_size, aligned=aligned,
-        chunk=chunk,
+        chunk=chunk, unroll=UNROLL,
     )
     dfeat_t = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # feat
@@ -802,7 +901,7 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
             has_side_effects=True,
         ),
         interpret=_interpret(),
-    )(tile_start, tile_count, feat_t, g_aug, t_final)
+    )(tile_start, tile_count, n_eff, feat_t, g_aug, t_final)
     # NOTE: tiles share instances only through disjoint [start, end) ranges
     # (each instance belongs to exactly one tile), so per-tile writebacks
     # never collide.
@@ -828,7 +927,10 @@ def _gather_stream(packed16_t, g_pad, valid):
     feat8_t = _pack8_t(packed16_t)  # [8, N]
     gathered = jnp.where(valid[None, :], jnp.take(feat8_t, g_pad, axis=1), 0.0)
     i = gathered.shape[1]
-    pad = (-i) % CHUNK + CHUNK
+    # 2*CHUNK floor: the unrolled walk may DMA one phantom sub-chunk past
+    # the last real one (see _forward_kernel), and the backward writes its
+    # zero grads into the same padding
+    pad = (-i) % CHUNK + 2 * CHUNK
     return jnp.pad(gathered, ((0, 0), (0, pad)))
 
 

@@ -86,11 +86,13 @@ def main():
         conservative = jnp.sum(
             jnp.where(proj.valid & (proj.tile_mask == 0), proj.n_touched, 0)
         )
-        return out[:, 5, 0], out[:, 6, 0], conservative, jnp.sum(proj.n_touched)
+        return (out[:, 5, 0], out[:, 6, 0], out[:, 7, :], conservative,
+                jnp.sum(proj.n_touched))
 
-    walked, total, n_cons, n_inst = jax.block_until_ready(run(splats, cam))
+    walked, total, contrib, n_cons, n_inst = jax.block_until_ready(run(splats, cam))
     walked = np.asarray(walked)
     total = np.asarray(total)
+    contrib = np.asarray(contrib)  # [T, P] lane ci = chunk ci contribution bound
     live = total > 0
     w, t = walked[live], total[live]
     print(f"tiles: {live.sum()} live / {total.size}")
@@ -102,8 +104,17 @@ def main():
           f"  p90 {np.percentile(t, 90):.0f}  max {t.max():.0f}")
     print(f"conservatively-binned instances (dead-chunk upper bound): "
           f"{int(n_cons)} / {int(n_inst)} ({100 * int(n_cons) / max(int(n_inst), 1):.2f}%)")
-    # how much of the walk is spent past the point where MOST pixels are done
-    # is not observable from these rows; this is the tile-max signal only.
+    # backward tail-trim opportunity (GRAD_SKIP_EPS): chunks the backward
+    # would walk = per tile 1 + last lane with contrib >= eps (>= 1 floor),
+    # vs the current replay = `walked`.
+    lanes = np.arange(contrib.shape[1])[None, :]
+    for eps in (1e-4, 1e-3, 1.0 / 255.0, 1e-2):
+        n_eff = np.maximum((lanes + 1) * (contrib >= eps), 0).max(axis=1)
+        n_eff = np.minimum(np.maximum(n_eff, 1), total)[live]
+        mid_skip = ((contrib[live] < eps) & (lanes < n_eff[:, None])).sum()
+        print(f"eps={eps:.4g}: bwd walks {n_eff.sum():.0f} chunks "
+              f"({100 * n_eff.sum() / w.sum():.1f}% of fwd walk); "
+              f"mid-walk sub-eps chunks (checkpoint-skip headroom): {mid_skip}")
 
 
 if __name__ == "__main__":
