@@ -79,6 +79,19 @@ UNROLL = int(_os.environ.get("LFS_BLEND_UNROLL", "1"))
 # < 1/255, i.e. under the reference's own alpha-discard threshold) are zero-
 # filled. 0 disables the trim (exact full replay).
 GRAD_SKIP_EPS = float(_os.environ.get("LFS_GRAD_SKIP_EPS", str(1.0 / 255.0)))
+# Diagnostic (tools/walk_stats.py --pixel): record each pixel's
+# SATURATION STEP (first chunk index where its running transmittance
+# crossed the termination threshold) in out row 5 instead of the broadcast
+# walked count — quantifies how much earlier SUB-TILE pixel blocks would
+# terminate than the whole tile. Costs one compare+select per chunk; never
+# enabled in production.
+PIXEL_DIAG = _os.environ.get("LFS_BLEND_PIXEL_DIAG", "") == "1"
+# Backward moment-contraction precision: 3 = bf16 hi/lo split (~16 mantissa
+# bits, default), 1 = single bf16 pass (-1.3 ms/step, ~2^-9 worst-case conic
+# grads after the d_ca/d_cb/d_cc recombination cancellation). Gated by the
+# golden VJP suite + the selfcheck SSIM trajectory before any default flip.
+MOM_PASSES = int(_os.environ.get("LFS_BLEND_MOM_PASSES", "3"))
+assert MOM_PASSES in (1, 3)
 # slot disjointness between the current and prefetched step needs
 # IN_SLOTS >= 2*unroll (step s uses slots [s*u, s*u+u) mod IN_SLOTS)
 assert UNROLL in (1, 2), f"LFS_BLEND_UNROLL must be 1 or 2, got {UNROLL}"
@@ -333,7 +346,7 @@ def _forward_kernel(
     def cond(carry):
         # t_run is monotone non-increasing, so this terminates as soon as
         # every pixel in the tile saturates (the reference's `done` ballot)
-        si, t_run, _, _ = carry
+        si, t_run = carry[0], carry[1]
         return (si < n_steps) & (jnp.max(t_run) >= term)
 
     def body(carry):
@@ -356,7 +369,10 @@ def _forward_kernel(
         # recorded for the backward's tail trim (GRAD_SKIP_EPS); costs one
         # [1, P] subtract + max-reduce + select per chunk (~free next to the
         # [CHUNK, P] work).
-        si, t_run, acc, contrib_row = carry
+        if PIXEL_DIAG:
+            si, t_run, acc, contrib_row, cross_row = carry
+        else:
+            si, t_run, acc, contrib_row = carry
 
         @pl.when(si + 1 < n_steps)
         def _():
@@ -432,20 +448,30 @@ def _forward_kernel(
                 lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
                 ci_cl = jnp.minimum(ci, n_pix - 1)
                 contrib_row = jnp.where(lane_p == ci_cl, contrib, contrib_row)
+            if PIXEL_DIAG:
+                # cross_row rides the contrib_row carry slot semantics: a
+                # pixel's saturation step is recorded once, at its first
+                # sub-threshold chunk exit
+                cross_row = jnp.where(
+                    (cross_row < 0.0) & (t_exit < TRANSMITTANCE_THRESHOLD),
+                    jnp.float32(ci + 1), cross_row,
+                )
             t_run = t_exit
 
+        if PIXEL_DIAG:
+            return si + 1, t_run, acc, contrib_row, cross_row
         return si + 1, t_run, acc, contrib_row
 
-    si_end, _, acc, contrib_row = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.asarray(0, jnp.int32),
-            jnp.ones((1, n_pix), jnp.float32),
-            jnp.zeros((5, n_pix), jnp.float32),
-            jnp.zeros((1, n_pix), jnp.float32),
-        ),
+    init = (
+        jnp.asarray(0, jnp.int32),
+        jnp.ones((1, n_pix), jnp.float32),
+        jnp.zeros((5, n_pix), jnp.float32),
+        jnp.zeros((1, n_pix), jnp.float32),
     )
+    if PIXEL_DIAG:
+        init = init + (jnp.full((1, n_pix), -1.0, jnp.float32),)
+    fin = jax.lax.while_loop(cond, body, init)
+    si_end, _, acc, contrib_row = fin[0], fin[1], fin[2], fin[3]
 
     # early exit leaves one step's prefetches in flight — consume them
     # or the DMA semaphores are imbalanced at program end (device-fatal)
@@ -462,7 +488,13 @@ def _forward_kernel(
     # consumed by tools/walk_stats.py. Row 5 is REWRITTEN by the backward
     # caller (g_aug carries CG_final there), never read from the fwd output.
     walked = jnp.minimum(si_end * unroll, n_chunks)
-    out_ref[0, 5, :] = jnp.broadcast_to(walked.astype(jnp.float32), (n_pix,))
+    if PIXEL_DIAG:
+        # unsaturated pixels (cross_row still -1) report the full walk
+        out_ref[0, 5, :] = jnp.where(
+            fin[4][0] < 0.0, walked.astype(jnp.float32), fin[4][0]
+        )
+    else:
+        out_ref[0, 5, :] = jnp.broadcast_to(walked.astype(jnp.float32), (n_pix,))
     out_ref[0, 6, :] = jnp.broadcast_to(n_chunks.astype(jnp.float32), (n_pix,))
     # row 7: lane ci = chunk ci's max contribution bound (freeze path only;
     # zeros for inference). Consumed by the backward caller's tail trim and
@@ -688,7 +720,13 @@ def _backward_kernel(
             # 2^-16 split error to ~2^-9 worst-case on conic grads —
             # validated against the selfcheck PSNR/SSIM trajectory
             # (geometry-grad precision is the known 0.3 dB hazard at 2^-8).
-            mom = _dot3(basis, u, (((1,), (1,)), ((), ())))  # [6, CHUNK]
+            if MOM_PASSES == 3:
+                mom = _dot3(basis, u, (((1,), (1,)), ((), ())))  # [6, CHUNK]
+            else:
+                mom = jax.lax.dot_general(
+                    basis, u, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [6, CHUNK] single bf16 pass
             s0 = mom[0, :]
             sx = mom[1, :]
             sy = mom[2, :]

@@ -86,11 +86,13 @@ def main():
         conservative = jnp.sum(
             jnp.where(proj.valid & (proj.tile_mask == 0), proj.n_touched, 0)
         )
-        return (out[:, 5, 0], out[:, 6, 0], out[:, 7, :], conservative,
+        return (out[:, 5, :], out[:, 6, 0], out[:, 7, :], conservative,
                 jnp.sum(proj.n_touched))
 
-    walked, total, contrib, n_cons, n_inst = jax.block_until_ready(run(splats, cam))
-    walked = np.asarray(walked)
+    row5, total, contrib, n_cons, n_inst = jax.block_until_ready(run(splats, cam))
+    row5 = np.asarray(row5)  # broadcast walked count, or per-pixel saturation
+    #   steps under LFS_BLEND_PIXEL_DIAG=1
+    walked = row5.max(axis=1)
     total = np.asarray(total)
     contrib = np.asarray(contrib)  # [T, P] lane ci = chunk ci contribution bound
     live = total > 0
@@ -107,6 +109,19 @@ def main():
     # backward tail-trim opportunity (GRAD_SKIP_EPS): chunks the backward
     # would walk = per tile 1 + last lane with contrib >= eps (>= 1 floor),
     # vs the current replay = `walked`.
+    if os.environ.get("LFS_BLEND_PIXEL_DIAG") == "1":
+        # row 5 holds per-PIXEL saturation steps: how many chunk-EQUIVALENTS
+        # of vector work would a sub-tile pixel-block early termination walk?
+        # A block of 1/B of the tile's pixels walking w chunks costs w/B
+        # full-chunk equivalents (the loop/DMA skeleton still runs
+        # max-over-blocks steps per tile — unchanged, = `walked`).
+        p = row5.shape[1]
+        base = walked[live].sum()
+        for nblk in (2, 4, 8):
+            bw = row5[live].reshape(live.sum(), nblk, p // nblk).max(axis=2)
+            eq = bw.sum() / nblk
+            print(f"{nblk} pixel blocks: {eq:.0f} chunk-equivalents of "
+                  f"vector work ({100 * eq / base:.1f}% of tile-level walk)")
     lanes = np.arange(contrib.shape[1])[None, :]
     for eps in (1e-4, 1e-3, 1.0 / 255.0, 1e-2):
         n_eff = np.maximum((lanes + 1) * (contrib >= eps), 0).max(axis=1)
