@@ -94,8 +94,15 @@ class CoherentRenderer:
     job queue already serializes renders)."""
 
     def __init__(self, width: int, height: int, *, tile_size: int = 32,
-                 instance_cap: int = 2 ** 21, dilate_px: float = 6.0,
+                 instance_cap: int = 2 ** 21, dilate_px: float = 2.0,
                  drift_budget: float | None = None, max_reuse: int = 120):
+        # dilate_px economics (measured, PERFNOTES r4 render section): the
+        # dilation inflates the instance count (~+8%/px at bench statistics),
+        # which multiplies the gather+blend cost of EVERY reused frame, while
+        # re-binning only costs ~9 ms of a 34 ms frame — so small dilation +
+        # slow-motion reuse is the only winning regime. 3 px (budget 1.5 px)
+        # covers hover/inspection drags; fast drags re-bin per frame, which
+        # is the exact (and cheaper) path anyway.
         self.width, self.height = width, height
         self.tile_size = tile_size
         self.instance_cap = instance_cap
@@ -158,10 +165,15 @@ class CoherentRenderer:
         if need_bin:
             assignment, nt, z_min = self._bin(splats, cam)
             # auto-grow the instance cap when the (dilated) binning overflows
-            # — trailing instances would otherwise be silently dropped
+            # — trailing instances would otherwise be silently dropped. Snug
+            # x1.25 steps (128-aligned): every binning/gather/blend stage
+            # scales with the STATIC cap, so a x2 growth would tax every
+            # subsequent frame ~15-25%.
             while (int(assignment.n_instances) > self.instance_cap
                    and self.instance_cap < 2 ** 22):
-                self.instance_cap = min(2 * self.instance_cap, 2 ** 22)
+                need = max(int(self.instance_cap * 1.25),
+                           int(int(assignment.n_instances) * 1.1))
+                self.instance_cap = min(-(-need // 128) * 128, 2 ** 22)
                 self._build_jits()
                 assignment, nt, z_min = self._bin(splats, cam)
             self._cache = (
