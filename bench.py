@@ -56,11 +56,11 @@ def main():
     W, H = 1296, 840
     CAP = 1_000_000
     N0 = 600_000
-    # Instance-buffer capacity: this scene peaks at ~2.15M exact-counted
-    # instances; every binning/gather/blend cost scales with the static cap,
-    # so size it with ~15% headroom (overflow is detected and reported).
-    # 32px tiles: this scene peaks at ~1.25M instances (vs ~2.15M at 16px)
-    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_500_000))
+    # Instance-buffer capacity: every binning/gather/blend cost scales with
+    # the static cap, so size it the way the trainer's snug growth policy
+    # would land: observed peak (1.217M exact-counted instances at 32px
+    # tiles) x 1.15 headroom, 128-aligned. Overflow is detected/reported.
+    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_400_000))
     TS = int(os.environ.get("LFS_BENCH_TS", 32))
 
     rng = np.random.default_rng(0)
@@ -108,7 +108,11 @@ def main():
     plain = StepFlags()
     refine = StepFlags(refine=True)
 
-    K_SCAN = 10
+    # 25 steps per dispatch: the relay round trip costs ~50 ms per dispatch
+    # (measured r5), so K=10 left ~5 ms/step of pure dispatch overhead on
+    # the table. The trainer scans up to a full between-events window
+    # (refine_every=100), so 25 is conservative vs production behavior.
+    K_SCAN = 25
     stacked_cam = CameraParams(
         w2c=jnp.tile(cam.w2c[None], (K_SCAN, 1, 1)),
         cam_position=jnp.tile(cam.cam_position[None], (K_SCAN, 1)),

@@ -278,6 +278,16 @@ def main(argv: list[str] | None = None) -> int:
             if not os.path.exists(p_):
                 print(f"error: splat file not found: {p_}", file=sys.stderr)
                 return 2
+        if str(args.render_output).endswith(".html"):
+            # the WebGL export never touches the accelerator — keep the
+            # splat tensors on host instead of paying a relay H2D upload
+            # (~60 s for a 5 MB model) plus the D2H fetch straight back
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass  # backend already initialized (e.g. library use)
         from lichtfeld_studio_tpu.render.headless import splats_from_ply
 
         named = []

@@ -71,13 +71,18 @@ OUT_SLOTS = 4  # backward writeback rotation depth
 # fill. Default stays 1; the path is kept (tested in interpret mode) for
 # sweeps on other TPU generations.
 UNROLL = int(_os.environ.get("LFS_BLEND_UNROLL", "1"))
-# Backward chunk-trim threshold (the reference's per-bucket max-contribution
+# Backward chunk-trim threshold (the analogue of the reference's per-bucket
 # skip, kernels_forward.cuh:443-455 / kernels_backward.cuh bucket gate): the
 # forward records, per chunk, max_p(T_entry - T_exit) — an upper bound on any
 # blending weight in the chunk — and the backward walks only up to the LAST
-# chunk whose bound >= eps. Gradients of the trimmed tail (every weight
-# < 1/255, i.e. under the reference's own alpha-discard threshold) are zero-
-# filled. 0 disables the trim (exact full replay).
+# chunk whose bound >= eps. Gradients of the trimmed tail are zero-filled.
+# NOTE the criterion is WEIGHT-based (T*alpha), which is STRICTER than the
+# reference's contribution-COUNT gate (kernels_backward.cuh:276 replays to
+# the last fragment with alpha >= 1/255 regardless of transmittance): a late
+# high-alpha fragment under low transmittance gets zero gradient here but a
+# real (< eps) one in the reference. The bias is bounded by eps x the
+# pixel's cotangent mass; tests/test_pallas_blend.py::
+# test_grad_skip_eps_trim_bound pins it. 0 disables (exact full replay).
 GRAD_SKIP_EPS = float(_os.environ.get("LFS_GRAD_SKIP_EPS", str(1.0 / 255.0)))
 # Diagnostic (tools/walk_stats.py --pixel): record each pixel's
 # SATURATION STEP (first chunk index where its running transmittance
@@ -957,13 +962,14 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     return dfeat_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _blend_gathered(
-    packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    packed16_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
 ):
     out, _ = _blend_gathered_fwd(
-        packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+        packed16_t, g_pad, slot_layout, slot_g, valid, n_touched,
+        tile_counts_pair,
         grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
     )
     return out
@@ -984,7 +990,7 @@ def _gather_stream(packed16_t, g_pad, valid):
 
 
 def _blend_gathered_fwd(
-    packed16_t, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    packed16_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha=True,
     freeze=True,
 ):
@@ -1001,7 +1007,7 @@ def _blend_gathered_fwd(
         aligned=aligned, exact_alpha=exact_alpha, freeze=freeze,
         chunk=layout_chunk if aligned else CHUNK // 2,
     )
-    return out, (feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out)
+    return out, (feat_t, slot_layout, slot_g, valid, n_touched, tile_start, tile_count, out)
 
 
 def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
@@ -1018,7 +1024,7 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
     from lichtfeld_studio_tpu.kernels.segment_reduce import grad_segment_reduce_packed
     from lichtfeld_studio_tpu.ops.tiles import sort_rows_to_slot_order
 
-    feat_t, slot_layout, valid, n_touched, tile_start, tile_count, out = res
+    feat_t, slot_layout, slot_g, valid, n_touched, tile_start, tile_count, out = res
     aligned = layout_chunk > 1
     dfeat_t = _backward_call(
         feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h, tile_size,
@@ -1030,10 +1036,12 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
         source_cap, slice_to_cap=False,
     )  # 8 x [i_pad] (colors bf16-paired in cols 6-7)
     # per-gaussian reduction + color unpack + pack_features layout in ONE
-    # Pallas pass (interval-membership MXU matmul, see kernels/segment_reduce);
+    # Pallas pass (membership MXU matmul, see kernels/segment_reduce);
     # the [16, N] feature-major cotangent matches pack_features_t
-    dpacked_t = grad_segment_reduce_packed(cols, n_touched, source_cap)  # [16, N]
-    return (dpacked_t, None, None, None, None, None)
+    dpacked_t = grad_segment_reduce_packed(
+        cols, n_touched, source_cap, slot_g=slot_g
+    )  # [16, N]
+    return (dpacked_t, None, None, None, None, None, None)
 
 
 _blend_gathered.defvjp(_blend_gathered_fwd, _blend_gathered_bwd)
@@ -1061,6 +1069,7 @@ def blend_pallas_fused(
         packed16_t,
         assignment.gaussian_idx,
         assignment.slot_layout,
+        assignment.slot_gaussian,
         assignment.instance_valid,
         n_touched,
         (assignment.tile_start, assignment.tile_count),

@@ -71,10 +71,11 @@ def _bf16_split_rows(x):
 
 def _segment_reduce_kernel(
     off_hbm,  # [1, NB*BN + OFF_PAD] int32 ANY — segment offsets (clipped)
-    cols_hbm,  # [F, cap_pad] f32 ANY — slot-ordered gradient rows
+    cols_hbm,  # [F(+1), cap_pad] f32 ANY — slot-ordered gradient rows
+    #   (+ the slot->gaussian id row as exact f32 ints when use_slot_g)
     out_ref,  # out block VMEM
     off_v,  # scratch [2, 1, BN+128] int32 — double-buffered across programs
-    col_s,  # scratch [2, F, IN] f32
+    col_s,  # scratch [2, F(+1), IN] f32
     osem,  # (2,) DMA semaphores (offsets)
     sem,  # (2,) DMA semaphores (columns)
     *,
@@ -83,6 +84,7 @@ def _segment_reduce_kernel(
     n_blocks: int,
     unpack_pairs: bool,
     feature_major_out: bool,
+    use_slot_g: bool = False,
 ):
     k = pl.program_id(0)
 
@@ -132,7 +134,7 @@ def _segment_reduce_kernel(
             dma((t + 1) % 2, t + 1).start()
 
         dma(slot, t).wait()
-        rows = col_s[slot]  # [F, IN]
+        rows = col_s[slot]  # [F(+1), IN]
         if unpack_pairs:
             # blend backward stream -> pack_features 16-col layout
             r, g = _unpack_pair_rows(rows[6, :])
@@ -145,17 +147,35 @@ def _segment_reduce_kernel(
                 ]
             )  # [16, IN]
         else:
-            rows_v = rows
+            rows_v = rows[:n_feat] if use_slot_g else rows
 
-        slot_ids = base + t * IN_CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, IN_CHUNK), 1
-        )  # [1, IN]
-        ge = (slot_ids >= offs).astype(jnp.bfloat16)  # [BN+128, IN], monotone
-        # interval membership {0,1} — EXACT in bf16, so a 2-pass hi/lo split
-        # of the f32 rows yields f32-faithful gradient sums (vs 6-pass
-        # HIGHEST); these are the FINAL per-gaussian gradients, where bf16
-        # rounding is the known 0.3 dB hazard.
-        m = ge[:BLOCK_N, :] - ge[1 : BLOCK_N + 1, :]
+        if use_slot_g:
+            # membership by slot->gaussian EQUALITY: the expand kernel
+            # already computed each slot's owning gaussian, so one [BN, IN]
+            # compare replaces the interval construction's two monotone
+            # compares over [BN+128, IN] plus a subtract (~40% fewer VPU
+            # passes on the hot backward reduction). g rides the stacked
+            # DMA as exact f32 integers (< 2^24); float equality on exact
+            # ints is exact. Foreign slots (previous/next block, dead tail,
+            # filler) simply fail the compare — no boundary cases.
+            gs = rows[n_feat : n_feat + 1, :]  # [1, IN] f32 ints
+            n_col = (
+                k * BLOCK_N
+                + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, 1), 0)
+            ).astype(jnp.float32)
+            m = jnp.where(
+                gs == n_col, jnp.bfloat16(1), jnp.bfloat16(0)
+            )  # [BN, IN]
+            # {0,1} membership is EXACT in bf16, so a 2-pass hi/lo split of
+            # the f32 rows yields f32-faithful gradient sums (vs 6-pass
+            # HIGHEST); these are the FINAL per-gaussian gradients, where
+            # bf16 rounding is the known 0.3 dB hazard.
+        else:
+            slot_ids = base + t * IN_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (1, IN_CHUNK), 1
+            )  # [1, IN]
+            ge = (slot_ids >= offs).astype(jnp.bfloat16)  # [BN+128, IN]
+            m = ge[:BLOCK_N, :] - ge[1 : BLOCK_N + 1, :]
         r_hi, r_lo = _bf16_split_rows(rows_v)
         if feature_major_out:
             dot = functools.partial(
@@ -187,6 +207,7 @@ def _segment_reduce_call(
     out_cols: int,
     unpack_pairs: bool,
     feature_major_out: bool = False,
+    slot_g: jax.Array | None = None,  # [source_cap] int32 slot->gaussian
 ) -> jax.Array:
     n = n_touched.shape[0]
     f = len(cols)
@@ -199,15 +220,19 @@ def _segment_reduce_call(
     off_pad = jnp.full((nb * BLOCK_N + OFF_PAD,), source_cap, jnp.int32)
     off_pad = jax.lax.dynamic_update_slice(off_pad, off, (0,))[None, :]
 
-    # one stacked [F, cap_pad] array -> ONE DMA per streamed chunk. chunk
+    # one stacked [F(+1), cap_pad] array -> ONE DMA per streamed chunk. chunk
     # DMAs read [base, base + k*IN_CHUNK) with base <= off <= cap and
-    # end < cap + 2*IN_CHUNK.
+    # end < cap + 2*IN_CHUNK. slot_g (if given) rides as one more row of
+    # exact f32 integers for the kernel's equality membership; its 0.0 pad
+    # can only fake-match gaussian 0 on rows whose cols are already zeroed.
+    if slot_g is not None:
+        cols = cols + [slot_g.astype(jnp.float32)]
     need = source_cap + 2 * IN_CHUNK
     width = max(need, cols[0].shape[0])
     stacked = jnp.stack(
         [jnp.pad(c, (0, width - c.shape[0])) if c.shape[0] < width else c
          for c in cols]
-    )  # [F, width]
+    )  # [F(+1), width]
 
     if feature_major_out:
         out_specs = pl.BlockSpec(
@@ -227,6 +252,7 @@ def _segment_reduce_call(
             n_blocks=nb,
             unpack_pairs=unpack_pairs,
             feature_major_out=feature_major_out,
+            use_slot_g=slot_g is not None,
         ),
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
@@ -234,7 +260,7 @@ def _segment_reduce_call(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, 1, BLOCK_N + 128), jnp.int32),
-            pltpu.VMEM((2, f, IN_CHUNK), jnp.float32),
+            pltpu.VMEM((2, len(cols), IN_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -262,12 +288,15 @@ def grad_segment_reduce_packed(
     cols8: list[jax.Array],  # 8 x [cap or longer] f32 — blend bwd stream
     n_touched: jax.Array,  # [N] int32
     source_cap: int,
+    slot_g: jax.Array | None = None,  # [source_cap] int32 slot->gaussian
 ) -> jax.Array:
     """Blend-backward gradient columns (slot order, packed stream layout:
     6 geometry + 2 bf16-pair color words) -> per-gaussian gradients [16, N],
     feature-major, directly in the pack_features_t row layout (0-5 geometry,
-    8-11 colors, rest zero)."""
+    8-11 colors, rest zero). slot_g (the expand kernel's slot->gaussian map)
+    switches the kernel to the cheaper equality membership."""
     assert len(cols8) == 8
     return _segment_reduce_call(
-        list(cols8), n_touched, source_cap, 16, True, feature_major_out=True
+        list(cols8), n_touched, source_cap, 16, True, feature_major_out=True,
+        slot_g=slot_g,
     )

@@ -381,6 +381,20 @@ def _oracle_with_channels(proj, color, *, width: int, height: int):
     )
 
 
+# Whole-frame jitted rasterize for host-loop callers (eval, timelapse,
+# headless probes). Rasterizing EAGERLY dispatches every op through the
+# remote relay separately and sub-second op compiles never land in the
+# persistent cache — measured as tens of minutes for a cold first 1080p
+# frame vs one cacheable compile here. All config knobs are static.
+rasterize_jit = jax.jit(
+    rasterize,
+    static_argnames=(
+        "mode", "tile_size", "instance_cap", "k_max", "with_depth",
+        "projection", "antialiasing", "gut_exact", "inference", "cam_grad",
+    ),
+)
+
+
 def apply_render_mode(out: RenderOutput, render_mode: str) -> jax.Array:
     """Compose the final framebuffer per render mode
     (reference rasterizer.cpp:364-394). ED divides by alpha (expected depth)."""

@@ -46,7 +46,7 @@ from lichtfeld_studio_tpu.ops.projection import ProjectedSplats
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gaussian_idx", "slot_layout", "tile_start", "tile_count", "n_instances", "instance_valid"],
+    data_fields=["gaussian_idx", "slot_layout", "tile_start", "tile_count", "n_instances", "instance_valid", "slot_gaussian"],
     meta_fields=["chunk", "source_cap"],
 )
 @dataclass
@@ -62,6 +62,10 @@ class TileAssignment:
     tile_count: jax.Array  # [T] int32 — real instances per tile
     n_instances: jax.Array  # [] int32 — true instance total (may exceed I)
     instance_valid: jax.Array  # [I] bool
+    slot_gaussian: jax.Array | None = None  # [I] int32 — owning gaussian per
+    #   PRE-SORT expansion slot (the expand kernel's g output). Consumed by
+    #   the gradient segment-reduce's equality membership; DCE'd by XLA on
+    #   forward-only paths.
     chunk: int = 1  # alignment of tile_start (1 = compact layout)
     source_cap: int = 0  # pre-sort expansion buffer size (= instance_cap)
 
@@ -228,6 +232,7 @@ def build_tile_assignment(
             tile_count=counts,
             n_instances=total,
             instance_valid=valid_sorted,
+            slot_gaussian=g,
             chunk=1,
             source_cap=instance_cap,
         )
@@ -299,6 +304,7 @@ def build_tile_assignment(
         tile_count=counts,
         n_instances=total,
         instance_valid=gv > 0,
+        slot_gaussian=g,
         chunk=chunk_align,
         source_cap=instance_cap,
     )

@@ -29,7 +29,11 @@ blend itself always uses current-frame geometry/colors.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -132,10 +136,15 @@ class CoherentRenderer:
         ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
         dt = float(np.linalg.norm(np.asarray(pos) - np.asarray(bin_pos)))
         f = max(fx, fy)
-        # rotation sweeps <= ~1.6 f * ang at the image corner (incl roll);
+        # rotation sweeps <= (f + r^2/f) * ang at image radius r (the tan
+        # nonlinearity; reaches 2 f ang at 90-degree FOV) — bound at the
+        # corner radius of THIS image instead of a fixed wide-FOV constant
+        # so wide lenses can't out-drift the dilation at frame corners;
         # translation parallax is bounded by f * |dc| / z_nearest
+        cx, cy = 0.5 * self.width, 0.5 * self.height
+        corner = f + (cx * cx + cy * cy) / f
         z = max(z_min, 1e-3)
-        return 1.6 * f * ang + f * dt / z
+        return corner * ang + f * dt / z
 
     def render(self, splats: SplatData, camera: Camera | CameraParams,
                bg_color=(0.0, 0.0, 0.0), as_numpy: bool = True):
@@ -163,6 +172,22 @@ class CoherentRenderer:
             > self.drift_budget
         )
         if need_bin:
+            if c is None or c[0] is not splats:
+                # first bin of a new model: probe the true instance count
+                # (projection-only, cheap) and seed a snug cap directly —
+                # the same sizing render_view does — instead of paying
+                # several re-bin + recompile rounds growing from the default
+                from lichtfeld_studio_tpu.ops.rasterize import count_instances
+
+                probe = int(count_instances(
+                    splats, cam, tile_size=self.tile_size, projection="ewa"
+                ))
+                # dilation inflates the probe (~8%/px, PERFNOTES r4) —
+                # budget for it plus headroom
+                need = int(probe * (1.0 + 0.1 * self.dilate_px) * 1.15)
+                if need > self.instance_cap:
+                    self.instance_cap = min(-(-need // 128) * 128, 2 ** 22)
+                    self._build_jits()
             assignment, nt, z_min = self._bin(splats, cam)
             # auto-grow the instance cap when the (dilated) binning overflows
             # — trailing instances would otherwise be silently dropped. Snug
@@ -176,6 +201,12 @@ class CoherentRenderer:
                 self.instance_cap = min(-(-need // 128) * 128, 2 ** 22)
                 self._build_jits()
                 assignment, nt, z_min = self._bin(splats, cam)
+            if int(assignment.n_instances) > self.instance_cap:
+                _log.warning(
+                    "coherent renderer: %d instances exceed the %d cap "
+                    "ceiling; trailing instances are dropped this frame",
+                    int(assignment.n_instances), self.instance_cap,
+                )
             self._cache = (
                 splats, host_w2c, host_pos, assignment, nt, float(z_min),
             )

@@ -25,7 +25,7 @@ import numpy as np
 
 from lichtfeld_studio_tpu.core.splat_data import SplatData
 from lichtfeld_studio_tpu.io.dataset import CameraDataset
-from lichtfeld_studio_tpu.ops.rasterize import rasterize
+from lichtfeld_studio_tpu.ops.rasterize import rasterize, rasterize_jit
 from lichtfeld_studio_tpu.ops.ssim import psnr as psnr_fn, ssim as ssim_fn
 
 
@@ -76,7 +76,7 @@ class MetricsEvaluator:
         for k in range(len(self.dataset)):
             cam = self.dataset[k]
             gt = jnp.asarray(cam.load_image())
-            out = rasterize(
+            out = rasterize_jit(
                 splats,
                 cam.device_params(),
                 bg,

@@ -418,7 +418,14 @@ class Trainer:
                     n_inst > 0.85 * self.cfg.instance_cap
                     and self.cfg.instance_cap < opt.instance_cap
                 ):
-                    new_cap = min(self.cfg.instance_cap * 2, opt.instance_cap)
+                    # snug x1.25 steps (128-aligned) instead of x2: every
+                    # binning/gather/blend stage scales with the static cap,
+                    # so a doubled bucket taxes every subsequent step ~15-25%
+                    # (same policy as render/coherent.py cap growth)
+                    need = max(
+                        int(self.cfg.instance_cap * 1.25), int(n_inst * 1.15)
+                    )
+                    new_cap = min(-(-need // 128) * 128, opt.instance_cap)
                     print(
                         f"[instance-cap] {n_inst} instances crowd "
                         f"{self.cfg.instance_cap}; growing to {new_cap} (recompile)",
@@ -552,10 +559,10 @@ class Trainer:
         import numpy as np
 
         from lichtfeld_studio_tpu.io.image import save_image
-        from lichtfeld_studio_tpu.ops.rasterize import rasterize
+        from lichtfeld_studio_tpu.ops.rasterize import rasterize_jit
 
         for cam in cams:
-            out = rasterize(
+            out = rasterize_jit(
                 self.state.splats, cam.device_params(), jnp.zeros(3),
                 mode=self.cfg.raster_mode, instance_cap=self.cfg.instance_cap,
                 k_max=self.cfg.k_max, projection=self.cfg.projection,

@@ -95,6 +95,23 @@ def main():
 
     timeit("segsum prefix+gather", jax.jit(prefix_gather), d, off)
 
+    # LANE-axis gather row-count law (the production inference feature
+    # gather is take([W, C], idx, axis=1)): does halving W halve the cost,
+    # or is the cost per-INDEX? Decides whether tile-relative bf16 row
+    # packing (VERDICT r4 item 2) can buy render time.
+    C = 1_000_000
+    Q2 = 2_000_000
+    idx2 = jnp.asarray(rng.integers(0, C, Q2), jnp.int32)
+    for Wr in (16, 8, 4, 2, 1):
+        tab = jnp.asarray(rng.normal(size=(Wr, C)), jnp.float32)
+        f = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
+        timeit(f"lane-gather [{Wr:>2},1M] idx 2M f32", f, tab, idx2)
+    # and the bf16 variant (half the bytes per row)
+    for Wr in (8, 4):
+        tab = jnp.asarray(rng.normal(size=(Wr, C)), jnp.bfloat16)
+        f = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
+        timeit(f"lane-gather [{Wr:>2},1M] idx 2M bf16", f, tab, idx2)
+
 
 if __name__ == "__main__":
     main()
