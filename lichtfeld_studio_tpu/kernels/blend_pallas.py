@@ -862,6 +862,52 @@ def _pack8_t(packed16_t: jax.Array) -> jax.Array:
     )
 
 
+@jax.custom_vjp
+def pack_colors_pair(r, g, b, aux):
+    """[N]x4 -> [2, N] bf16-pair color words with a STRAIGHT-THROUGH
+    gradient (the backward emits dcolor already bf16-paired in the same
+    rows; the quantizer itself is identity-gradient)."""
+    return jnp.stack([pack_bf16_pair(r, g), pack_bf16_pair(b, aux)])
+
+
+def _pack_colors_pair_fwd(r, g, b, aux):
+    return pack_colors_pair(r, g, b, aux), None
+
+
+def _pack_colors_pair_bwd(_, d):
+    dr, dg = unpack_bf16_pair(d[0])
+    db, daux = unpack_bf16_pair(d[1])
+    return dr, dg, db, daux
+
+
+pack_colors_pair.defvjp(_pack_colors_pair_fwd, _pack_colors_pair_bwd)
+
+
+def pack_stream8(proj, with_depth: bool = False) -> jax.Array:
+    """Per-gaussian streamed blend features [8, C] built DIRECTLY from the
+    projection (rows 0-5 geometry f32, rows 6-7 bf16-paired colors+aux) —
+    skips the [16, C] pack_features_t intermediate, which cost ~1 ms/step
+    of pure concatenate/slice materialization at 1M capacity. Differentiable
+    end to end (colors via the straight-through pair quantizer)."""
+    c = proj.mean2d.shape[0]
+    geo = jnp.stack(
+        [
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.opacity,
+        ],
+        axis=0,
+    )  # [6, C]
+    aux = proj.depth if with_depth else jnp.zeros((c,), proj.mean2d.dtype)
+    colors = pack_colors_pair(
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2], aux
+    )  # [2, C]
+    return jnp.concatenate([geo, colors], axis=0)  # [8, C]
+
+
 def _forward_call(feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
                   aligned=True, exact_alpha=True, freeze=True, chunk=CHUNK):
     num_tiles = grid_w * grid_h
@@ -962,24 +1008,26 @@ def _backward_call(feat_t, tile_start, tile_count, out, g_out, grid_w, grid_h,
     return dfeat_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def _blend_gathered(
-    packed16_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
+    packed_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
+    stream8,
 ):
     out, _ = _blend_gathered_fwd(
-        packed16_t, g_pad, slot_layout, slot_g, valid, n_touched,
+        packed_t, g_pad, slot_layout, slot_g, valid, n_touched,
         tile_counts_pair,
         grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha, freeze,
+        stream8,
     )
     return out
 
 
-def _gather_stream(packed16_t, g_pad, valid):
-    """[16,N] -> streamed [8, I_pad(+chunk pad)]: bf16-pack colors at the
-    gaussian level, ONE half-width LANE gather (instances stay on the lane
-    axis end to end — no transpose, no 128-lane padding waste)."""
-    feat8_t = _pack8_t(packed16_t)  # [8, N]
+def _gather_stream(packed_t, g_pad, valid, stream8=False):
+    """[16,N] or [8,N] -> streamed [8, I_pad(+chunk pad)]: bf16-pack colors
+    at the gaussian level, ONE half-width LANE gather (instances stay on the
+    lane axis end to end — no transpose, no 128-lane padding waste)."""
+    feat8_t = packed_t if stream8 else _pack8_t(packed_t)  # [8, N]
     gathered = jnp.where(valid[None, :], jnp.take(feat8_t, g_pad, axis=1), 0.0)
     i = gathered.shape[1]
     # 2*CHUNK floor: the unrolled walk may DMA one phantom sub-chunk past
@@ -990,9 +1038,9 @@ def _gather_stream(packed16_t, g_pad, valid):
 
 
 def _blend_gathered_fwd(
-    packed16_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
+    packed_t, g_pad, slot_layout, slot_g, valid, n_touched, tile_counts_pair,
     grid_w, grid_h, tile_size, source_cap, layout_chunk, exact_alpha=True,
-    freeze=True,
+    freeze=True, stream8=False,
 ):
     # layout_chunk == 1 is the compact (inference) layout: the forward
     # kernel handles unaligned tile starts with half-size chunks (boundary
@@ -1001,7 +1049,7 @@ def _blend_gathered_fwd(
     # are layout_chunk-aligned and the kernels stream exactly that chunk.
     aligned = layout_chunk > 1
     tile_start, tile_count = tile_counts_pair
-    feat_t = _gather_stream(packed16_t, g_pad, valid)
+    feat_t = _gather_stream(packed_t, g_pad, valid, stream8)
     out = _forward_call(
         feat_t, tile_start, tile_count, grid_w, grid_h, tile_size,
         aligned=aligned, exact_alpha=exact_alpha, freeze=freeze,
@@ -1011,7 +1059,7 @@ def _blend_gathered_fwd(
 
 
 def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
-                        exact_alpha, freeze, res, g_out):
+                        exact_alpha, freeze, stream8, res, g_out):
     """Backward: replay kernel -> per-instance grads [8, I_pad] -> reduce to
     per-gaussian [N, 16]: ONE value-sort keyed on slot_layout restores
     pre-sort (per-gaussian-contiguous) order, then segmented prefix sums
@@ -1040,7 +1088,18 @@ def _blend_gathered_bwd(grid_w, grid_h, tile_size, source_cap, layout_chunk,
     # the [16, N] feature-major cotangent matches pack_features_t
     dpacked_t = grad_segment_reduce_packed(
         cols, n_touched, source_cap, slot_g=slot_g
-    )  # [16, N]
+    )  # [16, N] (pack_features layout: 0-5 geometry, 8-11 colors)
+    if stream8:
+        # 8-row stream cotangent: colors re-paired for pack_colors_pair's
+        # straight-through VJP to unpack
+        dpacked_t = jnp.concatenate(
+            [
+                dpacked_t[0:6],
+                pack_bf16_pair(dpacked_t[8], dpacked_t[9])[None, :],
+                pack_bf16_pair(dpacked_t[10], dpacked_t[11])[None, :],
+            ],
+            axis=0,
+        )
     return (dpacked_t, None, None, None, None, None, None)
 
 
@@ -1048,7 +1107,8 @@ _blend_gathered.defvjp(_blend_gathered_fwd, _blend_gathered_bwd)
 
 
 def blend_pallas_fused(
-    packed16_t: jax.Array,  # [16, N] feature-major (ops.tiles.pack_features_t)
+    packed_t: jax.Array,  # [16, N] (ops.tiles.pack_features_t) or the
+    #   direct [8, N] stream from pack_stream8 (production path)
     assignment,  # TileAssignment (chunk-aligned layout)
     n_touched: jax.Array,  # [N]
     *,
@@ -1066,7 +1126,7 @@ def blend_pallas_fused(
     freeze=False (inference only — NEVER differentiate) drops the per-pixel
     transmittance-freeze bookkeeping; see _forward_kernel."""
     out = _blend_gathered(
-        packed16_t,
+        packed_t,
         assignment.gaussian_idx,
         assignment.slot_layout,
         assignment.slot_gaussian,
@@ -1080,6 +1140,7 @@ def blend_pallas_fused(
         assignment.chunk,  # 1 = compact (inference) layout -> unaligned fwd
         exact_alpha,
         freeze,
+        packed_t.shape[0] == 8,
     )
     ts = tile_size
     chans = out[:, 0:4, :].reshape(grid_h, grid_w, 4, ts, ts)

@@ -163,9 +163,11 @@ def _segment_reduce_kernel(
                 k * BLOCK_N
                 + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, 1), 0)
             ).astype(jnp.float32)
-            m = jnp.where(
-                gs == n_col, jnp.bfloat16(1), jnp.bfloat16(0)
-            )  # [BN, IN]
+            # one compare + one i1->bf16 convert — the same astype idiom the
+            # interval path compiles with; a select against SCALAR bf16
+            # operands instead trips Mosaic's "Invalid relayout ...
+            # replicated in destination" on the i1 mask (measured)
+            m = (gs == n_col).astype(jnp.bfloat16)  # [BN, IN]
             # {0,1} membership is EXACT in bf16, so a 2-pass hi/lo split of
             # the f32 rows yields f32-faithful gradient sums (vs 6-pass
             # HIGHEST); these are the FINAL per-gaussian gradients, where
@@ -233,6 +235,11 @@ def _segment_reduce_call(
         [jnp.pad(c, (0, width - c.shape[0])) if c.shape[0] < width else c
          for c in cols]
     )  # [F(+1), width]
+    # Mosaic requires dim-0 DMA slices aligned to the (8, 128) f32 tiling:
+    # pad the row count to a multiple of 8 (the g row makes it 9)
+    n_rows = -(-stacked.shape[0] // 8) * 8
+    if stacked.shape[0] != n_rows:
+        stacked = jnp.pad(stacked, ((0, n_rows - stacked.shape[0]), (0, 0)))
 
     if feature_major_out:
         out_specs = pl.BlockSpec(
@@ -260,7 +267,7 @@ def _segment_reduce_call(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, 1, BLOCK_N + 128), jnp.int32),
-            pltpu.VMEM((2, len(cols), IN_CHUNK), jnp.float32),
+            pltpu.VMEM((2, n_rows, IN_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

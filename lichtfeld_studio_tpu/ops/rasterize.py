@@ -31,7 +31,7 @@ from lichtfeld_studio_tpu.ops.tiles import (
     build_tile_assignment,
     gather_instance_features,
     pack_features,
-    pack_features_t,
+
 )
 
 
@@ -290,7 +290,10 @@ def rasterize(
     elif mode in ("tiles", "pallas"):
         n_ch = 4 if with_depth else 3
         if mode == "pallas":
-            from lichtfeld_studio_tpu.kernels.blend_pallas import blend_pallas_fused
+            from lichtfeld_studio_tpu.kernels.blend_pallas import (
+                blend_pallas_fused,
+                pack_stream8,
+            )
 
             # compact layout for BOTH training and inference: the forward
             # kernel DMAs from the aligned window under each unaligned start
@@ -303,7 +306,7 @@ def rasterize(
                 chunk_align=1, need_grad=not inference,
             )
             image4, alpha = blend_pallas_fused(
-                pack_features_t(proj, with_depth),
+                pack_stream8(proj, with_depth),
                 assignment,
                 proj.n_touched,
                 grid_w=grid_w,

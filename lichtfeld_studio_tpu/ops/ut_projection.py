@@ -325,22 +325,24 @@ def project_gaussians_ut(
     valid &= area > 0
     bbox = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)
 
-    k = jnp.arange(EXACT_TILE_CAP, dtype=jnp.int32)[None, :]
-    safe_w = jnp.maximum(bb_w, 1)[:, None]
-    cand_x = x_min[:, None] + k % safe_w
-    cand_y = y_min[:, None] + k // safe_w
-    in_bbox = k < area[:, None]
+    k = jnp.arange(EXACT_TILE_CAP, dtype=jnp.int32)[:, None]  # [K, 1]
+    safe_w = jnp.maximum(bb_w, 1)[None, :]
+    cand_x = x_min[None, :] + k % safe_w  # [K, C]
+    cand_y = y_min[None, :] + k // safe_w
+    in_bbox = k < area[None, :]
     contrib = _will_contribute(
-        (mean2d - 0.5)[:, None, :], conic[:, None, :], cand_x, cand_y,
-        power_threshold[:, None], tile_size,
+        (mean2d[:, 0] - 0.5)[None, :], (mean2d[:, 1] - 0.5)[None, :],
+        conic[:, 0][None, :], conic[:, 1][None, :], conic[:, 2][None, :],
+        cand_x, cand_y, power_threshold[None, :], tile_size,
     )
     # exact_tile_test=False keeps the conservative full bbox — required by
     # the per-pixel world-space blend, whose footprint is not bounded by the
     # UT conic the exact test evaluates
     use_exact = (area <= EXACT_TILE_CAP) & valid & exact_tile_test
-    bits = jnp.where(in_bbox & contrib & use_exact[:, None], jnp.int32(1) << k, 0)
-    tile_mask = jnp.sum(bits, axis=1)
-    n_exact = jnp.sum((in_bbox & contrib).astype(jnp.int32), axis=1)
+    bits = jnp.where(in_bbox & contrib, jnp.int32(1) << k, 0)
+    mask_all = jnp.sum(bits, axis=0)
+    tile_mask = jnp.where(use_exact, mask_all, 0)
+    n_exact = jax.lax.population_count(mask_all)
     n_touched = jnp.where(use_exact, n_exact, area)
     valid &= n_touched > 0
     n_touched = jnp.where(valid, n_touched, 0)

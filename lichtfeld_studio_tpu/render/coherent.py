@@ -64,9 +64,11 @@ def _bin_pass(splats, cam, *, width, height, tile_size, instance_cap, dilate_px)
 
 def _frame_pass(splats, cam, assignment, n_touched, bg,
                 *, width, height, tile_size):
-    from lichtfeld_studio_tpu.kernels.blend_pallas import blend_pallas_fused
+    from lichtfeld_studio_tpu.kernels.blend_pallas import (
+        blend_pallas_fused,
+        pack_stream8,
+    )
     from lichtfeld_studio_tpu.ops.projection import project_gaussians
-    from lichtfeld_studio_tpu.ops.tiles import pack_features_t
 
     grid_w, grid_h = -(-width // tile_size), -(-height // tile_size)
     proj = project_gaussians(
@@ -76,7 +78,7 @@ def _frame_pass(splats, cam, assignment, n_touched, bg,
         width=width, height=height, tile_size=tile_size,
         exact_tile_cap=0,  # feature-only: tile lists come from the cache
     )
-    packed = pack_features_t(proj)
+    packed = pack_stream8(proj)
     # gaussians culled by THIS frame (z/frustum/det) may carry garbage
     # features; zero them so stale instance slots blend to alpha = 0
     packed = jnp.where(proj.valid[None, :], packed, 0.0)
