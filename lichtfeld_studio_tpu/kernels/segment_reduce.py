@@ -147,7 +147,9 @@ def _segment_reduce_kernel(
                 ]
             )  # [16, IN]
         else:
-            rows_v = rows[:n_feat] if use_slot_g else rows
+            # the stacked array may carry a slot_g row and/or zero padding
+            # to an 8-aligned row count — use only the real columns
+            rows_v = rows[:n_feat]
 
         if use_slot_g:
             # membership by slot->gaussian EQUALITY: the expand kernel

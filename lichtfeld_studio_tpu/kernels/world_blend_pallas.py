@@ -32,8 +32,9 @@ ray-direction basis [dx^2, dy^2, dz^2, dx*dy, dx*dz, dy*dz] — barely more
 than the 2D kernel's single conic contraction. The per-gaussian G/Q
 construction is [N]-wide JAX (differentiable; the custom VJP boundary sits
 at the packed stream, so autodiff carries dG/dQ back to means/quats/scales
-automatically). Rolling shutter breaks the shared-origin identity and
-stays on the dense fallback (ops/world_blend.py).
+automatically). Rolling shutter keeps the MXU form through a tau-affine
+origin model — see pack_world_stream_rs (three numerator forms G0/G1/G2
+against a per-pixel shutter-time row; exact directions, chordal origins).
 
 Stream layout [16, I] (feature-major, instances on the lane axis):
   rows 0-5  G6' = [G00, G11, G22, 2*G01, 2*G02, 2*G12] / (2 ln2)
@@ -84,6 +85,9 @@ from lichtfeld_studio_tpu.ops.projection import (
 
 STREAM_ROWS = 16
 GRAD_ROWS = 16
+# Rolling-shutter stream (see pack_world_stream_rs): rows 0-5 G0', 6-11 G1',
+# 12-17 G2', 18-23 Q6, 24 -log2(op), 25-29 spare, 30-31 colors.
+STREAM_ROWS_RS = 32
 _LOG2_MIN_ALPHA = math.log2(MIN_ALPHA_THRESHOLD)
 _LOG2_MAX_FRAGMENT = math.log2(MAX_FRAGMENT_ALPHA)
 _LN2 = math.log(2.0)
@@ -174,28 +178,129 @@ def ray_dir_basis(
     grid_w: int,
     grid_h: int,
     tile_size: int,
+    tau: jax.Array | None = None,  # [Hp*Wp] per-pixel shutter time
 ) -> jax.Array:
     """Per-tile quadratic ray-direction basis [T, 8, P]:
-    rows 0-5 [dx^2, dy^2, dz^2, dx*dy, dx*dz, dy*dz], row 6 ones, row 7 zeros.
+    rows 0-5 [dx^2, dy^2, dz^2, dx*dy, dx*dz, dy*dz], row 6 ones, row 7 the
+    per-pixel shutter time tau (rolling shutter) or zeros (global).
     The ratio dist = (d^T G d)/(d^T Q d) is scale-invariant in d, so the
     directions need no normalization."""
     ts = tile_size
-    t_p = (
-        rays_d.reshape(grid_h, ts, grid_w, ts, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(grid_w * grid_h, ts * ts, 3)
-    )  # [T, P, 3]
+
+    def tile_major(x):
+        return (
+            x.reshape(grid_h, ts, grid_w, ts, -1)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(grid_w * grid_h, ts * ts, -1)
+        )
+
+    t_p = tile_major(rays_d)  # [T, P, 3]
     dx, dy, dz = t_p[..., 0], t_p[..., 1], t_p[..., 2]
     ones = jnp.ones_like(dx)
+    tau_row = (
+        tile_major(tau[:, None])[..., 0] if tau is not None else jnp.zeros_like(dx)
+    )
     return jnp.stack(
-        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz, ones, jnp.zeros_like(dx)],
+        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz, ones, tau_row],
         axis=1,
     )  # [T, 8, P]
 
 
-def _alpha_world_mxu(f, basis, in_range, exact=True):
+def pack_world_stream_rs(
+    means: jax.Array,  # [N, 3]
+    log_scales: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    opacity: jax.Array,  # [N] activated
+    color: jax.Array,  # [N, 3]
+    o_start: jax.Array,  # [3] start-of-frame camera origin
+    o_end: jax.Array,  # [3] end-of-frame camera origin
+    depth: jax.Array | None = None,
+) -> jax.Array:
+    """Rolling-shutter streamed features [32, N].
+
+    The shared-origin identity extends to a MOVING origin that is AFFINE in
+    the per-pixel shutter time tau: with o(tau) = o_start + tau*v,
+    gro(tau) = gro0 + tau*u (u = M v), so C(tau) = C0 + tau*C1 and the
+    numerator |C(tau) d|^2 is a tau-polynomial of three quadratic forms:
+
+        num = d^T G0 d + tau * d^T G1 d + tau^2 * d^T G2 d
+        G0 = C0^T C0,  G1 = C0^T C1 + C1^T C0,  G2 = C1^T C1
+
+    — three [6,CHUNK]x[6,P] MXU contractions + two per-pixel multiply-adds
+    per chunk. The denominator d^T Q d is pose-independent. Ray DIRECTIONS
+    stay exact (per-scanline slerp pose, world_ray_table); only the ORIGIN
+    path is chordal: the reference's slerp origin o(tau) deviates from the
+    chord by <= |t| * theta^2 / 8 (theta = inter-pose rotation) — sub-pixel
+    for any physical shutter, and EXACT for translation-only motion.
+    Reference: per-pixel pose re-evaluation in gsplat/Cameras.cuh:253-413;
+    the dense fallback (ops/world_blend.py) keeps exact per-pixel origins.
+
+    Rows: 0-5 G0', 6-11 G1', 12-17 G2' (1/(2 ln2)-folded), 18-23 Q6,
+    24 -log2(op), 25-29 spare, 30-31 colors (bf16 pairs)."""
+    from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
+
+    n = means.shape[0]
+    qn = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    inv_s = jnp.exp(-log_scales)
+    rot = quat_to_rotmat(qn)
+    m = inv_s[:, :, None] * jnp.swapaxes(rot, -1, -2)  # [N, 3, 3]
+    gro0 = jnp.einsum("nij,nj->ni", m, o_start[None, :] - means)
+    u = jnp.einsum("nij,j->ni", m, o_end - o_start)
+
+    def skew(g):
+        gx, gy, gz = g[:, 0], g[:, 1], g[:, 2]
+        zeros = jnp.zeros_like(gx)
+        return jnp.stack(
+            [
+                jnp.stack([zeros, -gz, gy], -1),
+                jnp.stack([gz, zeros, -gx], -1),
+                jnp.stack([-gy, gx, zeros], -1),
+            ],
+            -2,
+        )
+
+    c0 = -jnp.einsum("nij,njk->nik", skew(gro0), m)
+    c1 = -jnp.einsum("nij,njk->nik", skew(u), m)
+    g0 = jnp.einsum("nji,njk->nik", c0, c0)
+    g1 = jnp.einsum("nji,njk->nik", c0, c1) + jnp.einsum("nji,njk->nik", c1, c0)
+    g2 = jnp.einsum("nji,njk->nik", c1, c1)
+    q = jnp.einsum("nji,njk->nik", m, m)
+
+    def sym6(a, scale):
+        return jnp.stack(
+            [
+                a[:, 0, 0] * scale,
+                a[:, 1, 1] * scale,
+                a[:, 2, 2] * scale,
+                (a[:, 0, 1] + a[:, 1, 0]) * scale,
+                (a[:, 0, 2] + a[:, 2, 0]) * scale,
+                (a[:, 1, 2] + a[:, 2, 1]) * scale,
+            ]
+        )  # [6, N] (off-diagonal entries summed: works for non-symmetric
+        #   construction like C0^T C1 + C1^T C0's halves too)
+
+    inv2ln2 = 1.0 / (2.0 * _LN2)
+    rows = [
+        sym6(g0, inv2ln2),
+        sym6(g1, inv2ln2),
+        sym6(g2, inv2ln2),
+        sym6(q, 1.0),
+        -jnp.log2(jnp.maximum(opacity, 1e-12))[None, :],
+        jnp.zeros((5, n), means.dtype),
+        pack_colors_st(
+            color[:, 0], color[:, 1], color[:, 2],
+            depth if depth is not None else jnp.zeros((n,), means.dtype),
+        ),
+    ]
+    return jnp.concatenate(rows, axis=0)  # [32, N]
+
+
+def _alpha_world_mxu(f, basis, in_range, exact=True, rs=False,
+                     tau=None, tau2=None):
     """alpha [CHUNK, P] from the streamed rows + the tile's direction basis.
-    s = (G6'.B)/(Q6.B) + nlog2(op)  (log2 units);  alpha_raw = exp2(-s).
+    s = num/(Q6.B) + nlog2(op)  (log2 units);  alpha_raw = exp2(-s), where
+    num = G6'.B (global shutter) or G0'.B + tau*(G1'.B) + tau2*(G2'.B)
+    (rolling shutter; tau/tau2 are the tile's [1, P] shutter-time rows).
     Returns (alpha, s, nlog_op_col). Masks mirror the 2D kernel: keep iff
     alpha_raw >= 1/255  <=>  s <= log2(255); out-of-range lanes fold into
     nlog_op (+1e10) so they fail the keep test with zero extra passes.
@@ -210,12 +315,16 @@ def _alpha_world_mxu(f, basis, in_range, exact=True):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+    else:
+        dot6 = functools.partial(_dot3, dims=dims)
+    if rs:
+        num = dot6(f[0:6], b6) + tau * dot6(f[6:12], b6) + tau2 * dot6(f[12:18], b6)
+        den = dot6(f[18:24], b6)
+        nlog_op = f[24, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
+    else:
         num = dot6(f[0:6], b6)  # [CHUNK, P]
         den = dot6(f[6:12], b6)
-    else:
-        num = _dot3(f[0:6], b6, dims)
-        den = _dot3(f[6:12], b6, dims)
-    nlog_op = f[12, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
+        nlog_op = f[12, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
     nlog_op_col = nlog_op[:, None]
     s = num / jnp.maximum(den, 1e-18) + nlog_op_col
     alpha = jnp.minimum(jnp.exp2(-s), MAX_FRAGMENT_ALPHA)
@@ -223,9 +332,10 @@ def _alpha_world_mxu(f, basis, in_range, exact=True):
     return jnp.where(keep, alpha, 0.0), s, nlog_op_col
 
 
-def _unpack_colors_w(f):
-    r, g = unpack_bf16_pair(f[14, :])
-    b, aux = unpack_bf16_pair(f[15, :])
+def _unpack_colors_w(f, rs=False):
+    cr = 30 if rs else 14
+    r, g = unpack_bf16_pair(f[cr, :])
+    b, aux = unpack_bf16_pair(f[cr + 1, :])
     return jnp.stack([r, g, b, aux])
 
 
@@ -235,11 +345,12 @@ def _forward_kernel(
     feat_hbm,  # [16, I+pad] ANY
     basis_ref,  # [1, 8, P] VMEM — this tile's ray basis
     out_ref,  # [1, 8, P] VMEM
-    feat_s,  # scratch [IN_SLOTS, 16, CHUNK]
+    feat_s,  # scratch [IN_SLOTS, 16|32, CHUNK]
     sem,
     *,
     tile_size: int,
     chunk: int,
+    rs: bool = False,
 ):
     n_pix = tile_size * tile_size
     t = pl.program_id(0)
@@ -252,6 +363,10 @@ def _forward_kernel(
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
     basis = basis_ref[0]  # [8, P]
+    # rolling shutter: basis row 7 carries the tile's per-pixel shutter
+    # time; tau^2 is loop-invariant ([1, P], computed once per tile)
+    tau = basis[7:8] if rs else None
+    tau2 = tau * tau if rs else None
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -278,12 +393,14 @@ def _forward_kernel(
             dma((ci + IN_SLOTS - 1) % IN_SLOTS, ci + IN_SLOTS - 1).start()
 
         dma(slot, ci).wait()
-        f = feat_s[slot]  # [16, CHUNK]
+        f = feat_s[slot]  # [16|32, CHUNK]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         gi = ci * chunk + lane
         in_range = (gi >= off) & (gi < end_rel)
-        alpha, _, _ = _alpha_world_mxu(f, basis, in_range)  # [CHUNK, P]
+        alpha, _, _ = _alpha_world_mxu(
+            f, basis, in_range, rs=rs, tau=tau, tau2=tau2
+        )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
         p_incl = t_run * prod_incl
@@ -291,7 +408,7 @@ def _forward_kernel(
         counted = p_incl >= TRANSMITTANCE_THRESHOLD
         w = jnp.where(counted, t_before - p_incl, 0.0)
 
-        colors = jnp.maximum(_unpack_colors_w(f), 0.0)  # [4, CHUNK]
+        colors = jnp.maximum(_unpack_colors_w(f, rs), 0.0)  # [4, CHUNK]
         colors5 = jnp.concatenate(
             [colors, jnp.ones((1, chunk), jnp.float32)], axis=0
         )
@@ -333,17 +450,19 @@ def _backward_kernel(
     gout_ref,  # [1, 8, P] VMEM — rows 0-3 channel cotangents, 4 dT, 5 CG_final
     tfin_ref,  # [1, 1, P] VMEM
     dfeat_hbm,  # out [16, I+pad] ANY
-    feat_s,  # [IN_SLOTS, 16, CHUNK]
-    dfeat_s,  # [OUT_SLOTS, 16, CHUNK]
-    head_s,  # [16, CHUNK] boundary merge
+    feat_s,  # [IN_SLOTS, 16|32, CHUNK]
+    dfeat_s,  # [OUT_SLOTS, 16|32, CHUNK]
+    head_s,  # [16|32, CHUNK] boundary merge
     sem,
     outsem,
     headsem,
     *,
     tile_size: int,
     chunk: int,
+    rs: bool = False,
 ):
     n_pix = tile_size * tile_size
+    grad_rows = STREAM_ROWS_RS if rs else GRAD_ROWS
     t = pl.program_id(0)
     count = tile_count_ref[t]
     start = tile_start_ref[t]
@@ -352,6 +471,8 @@ def _backward_kernel(
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
     basis = basis_ref[0]  # [8, P]
+    tau = basis[7:8] if rs else None
+    tau2 = tau * tau if rs else None
 
     g_img = gout_ref[0, 0:4, :]
     g_tfin = gout_ref[0, 4, :][None, :]
@@ -407,7 +528,9 @@ def _backward_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         gi = ci * chunk + lane
         in_range = (gi >= off) & (gi < end_rel)
-        alpha, s, nlog_op_col = _alpha_world_mxu(f, basis, in_range)
+        alpha, s, nlog_op_col = _alpha_world_mxu(
+            f, basis, in_range, rs=rs, tau=tau, tau2=tau2
+        )
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
         p_incl = t_run * prod_incl
@@ -415,7 +538,7 @@ def _backward_kernel(
         t_before = jnp.concatenate([t_run, p_incl[: chunk - 1]], axis=0)
         w = jnp.where(counted, t_before - p_incl, 0.0)
 
-        raw_colors = _unpack_colors_w(f)
+        raw_colors = _unpack_colors_w(f, rs)
         colors = jnp.maximum(raw_colors, 0.0)
 
         dcolor = jax.lax.dot_general(
@@ -439,15 +562,16 @@ def _backward_kernel(
             live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
         )  # [CHUNK, P]
 
-        # s = num/den + nlog2(op) with num = G6'.B (log2 units) gives
+        # s = num/den + nlog2(op) (log2 units) gives
         #   dL/ds    = ln2 * u          (alpha = exp2(-s); u = -dL/dalpha*alpha)
         #   dL/dG6'_j   = sum_p (ln2*u/den) B_j        -> moments of u1
+        #     (rolling shutter: dG0' <- u1, dG1' <- u1*tau, dG2' <- u1*tau^2)
         #   dL/dQ6_j    = sum_p (-ln2*u*sdist/den) B_j -> moments of u2
         #   dL/dnlog2op = ln2 * sum_p u                -> ones-row moment of u
         # den must be REPLAYED (not streamed): recompute from Q6.
         dims = (((0,), (0,)), ((), ()))
         den = jax.lax.dot_general(
-            f[6:12], basis[0:6], dimension_numbers=dims,
+            f[18:24] if rs else f[6:12], basis[0:6], dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -455,16 +579,14 @@ def _backward_kernel(
         sdist = s - nlog_op_col  # num/den, >= 0
         u1 = (_LN2 * u) * inv_den
         u2 = -u1 * sdist
-        # ONE stacked moment contraction: basis7 [7, P] x [P, 3*CHUNK]
-        stacked = jnp.concatenate([u1, u2, u], axis=0)  # [3*CHUNK, P]
-        mom = _dot3(basis[0:7], stacked, (((1,), (1,)), ((), ())))  # [7, 3C]
-        d_g6 = mom[0:6, 0:chunk]
-        d_q6 = mom[0:6, chunk : 2 * chunk]
-        s0 = mom[6, 2 * chunk : 3 * chunk]  # sum_p u per instance
-        # row 12 streams nlog2(op), so emit dL/d nlog2op = ln2 * sum_p u and
-        # let the OUTER autodiff chain through -log2(op) (emitting dL/dop
-        # here would double-apply the chain rule)
-        d_nlogop = _LN2 * s0
+        # ONE stacked moment contraction: basis7 [7, P] x [P, k*CHUNK]
+        if rs:
+            stacked = jnp.concatenate(
+                [u1, u1 * tau, u1 * tau2, u2, u], axis=0
+            )  # [5*CHUNK, P]
+        else:
+            stacked = jnp.concatenate([u1, u2, u], axis=0)  # [3*CHUNK, P]
+        mom = _dot3(basis[0:7], stacked, (((1,), (1,)), ((), ())))  # [7, kC]
 
         oslot = ci % OUT_SLOTS
 
@@ -472,18 +594,33 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - OUT_SLOTS).wait()
 
-        dfeat_s[oslot, 0:6, :] = d_g6
-        dfeat_s[oslot, 6:12, :] = d_q6
-        dfeat_s[oslot, 12, :] = d_nlogop
-        dfeat_s[oslot, 13, :] = jnp.zeros((chunk,), jnp.float32)
-        dfeat_s[oslot, 14, :] = pack_bf16_pair(dcolor[0], dcolor[1])
-        dfeat_s[oslot, 15, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+        if rs:
+            # dL/d nlog2op = ln2 * sum_p u (u's ones-row moment, 5th block)
+            dfeat_s[oslot, 0:6, :] = mom[0:6, 0:chunk]  # dG0'
+            dfeat_s[oslot, 6:12, :] = mom[0:6, chunk : 2 * chunk]  # dG1'
+            dfeat_s[oslot, 12:18, :] = mom[0:6, 2 * chunk : 3 * chunk]  # dG2'
+            dfeat_s[oslot, 18:24, :] = mom[0:6, 3 * chunk : 4 * chunk]  # dQ6
+            dfeat_s[oslot, 24, :] = _LN2 * mom[6, 4 * chunk : 5 * chunk]
+            dfeat_s[oslot, 25:30, :] = jnp.zeros((5, chunk), jnp.float32)
+            dfeat_s[oslot, 30, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+            dfeat_s[oslot, 31, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+        else:
+            s0 = mom[6, 2 * chunk : 3 * chunk]  # sum_p u per instance
+            # row 12 streams nlog2(op), so emit dL/d nlog2op = ln2 * sum_p u
+            # and let the OUTER autodiff chain through -log2(op) (emitting
+            # dL/dop here would double-apply the chain rule)
+            dfeat_s[oslot, 0:6, :] = mom[0:6, 0:chunk]
+            dfeat_s[oslot, 6:12, :] = mom[0:6, chunk : 2 * chunk]
+            dfeat_s[oslot, 12, :] = _LN2 * s0
+            dfeat_s[oslot, 13, :] = jnp.zeros((chunk,), jnp.float32)
+            dfeat_s[oslot, 14, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+            dfeat_s[oslot, 15, :] = pack_bf16_pair(dcolor[2], dcolor[3])
 
         # boundary head merge (sequential grid programs — see the 2D kernel)
         @pl.when(ci == 0)
         def _():
             dma_head_read().wait()
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (GRAD_ROWS, chunk), 1)
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (grad_rows, chunk), 1)
             dfeat_s[oslot] = jnp.where(lane_row >= off, dfeat_s[oslot], head_s[...])
 
         dma_out(oslot, ci).start()
@@ -512,7 +649,7 @@ def _backward_kernel(
         def _():
             dma_out(oslot, ci - OUT_SLOTS).wait()
 
-        dfeat_s[oslot, :, :] = jnp.zeros((GRAD_ROWS, chunk), jnp.float32)
+        dfeat_s[oslot, :, :] = jnp.zeros((grad_rows, chunk), jnp.float32)
         dma_out(oslot, ci).start()
         return ci + 1
 
@@ -526,7 +663,10 @@ def _backward_kernel(
 
 def _forward_call(feat_t, basis, tile_start, tile_count, num_tiles, tile_size, chunk):
     n_pix = tile_size * tile_size
-    kernel = functools.partial(_forward_kernel, tile_size=tile_size, chunk=chunk)
+    rs = feat_t.shape[0] == STREAM_ROWS_RS
+    kernel = functools.partial(
+        _forward_kernel, tile_size=tile_size, chunk=chunk, rs=rs
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -540,7 +680,7 @@ def _forward_call(feat_t, basis, tile_start, tile_count, num_tiles, tile_size, c
                 (1, 8, n_pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((IN_SLOTS, STREAM_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((IN_SLOTS, feat_t.shape[0], chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((IN_SLOTS,)),
             ],
         ),
@@ -554,12 +694,16 @@ def _backward_call(
     feat_t, basis, tile_start, tile_count, out, g_out, num_tiles, tile_size, chunk
 ):
     n_pix = tile_size * tile_size
+    rs = feat_t.shape[0] == STREAM_ROWS_RS
+    grad_rows = feat_t.shape[0]
     cg_final = jnp.sum(out[:, 0:4, :] * g_out[:, 0:4, :], axis=1, keepdims=True)
     g_aug = jnp.concatenate(
         [g_out[:, 0:5, :], cg_final, jnp.zeros_like(g_out[:, 6:8, :])], axis=1
     )
     t_final = out[:, 4:5, :]
-    kernel = functools.partial(_backward_kernel, tile_size=tile_size, chunk=chunk)
+    kernel = functools.partial(
+        _backward_kernel, tile_size=tile_size, chunk=chunk, rs=rs
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -573,15 +717,15 @@ def _backward_call(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((IN_SLOTS, STREAM_ROWS, chunk), jnp.float32),
-                pltpu.VMEM((OUT_SLOTS, GRAD_ROWS, chunk), jnp.float32),
-                pltpu.VMEM((GRAD_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((IN_SLOTS, feat_t.shape[0], chunk), jnp.float32),
+                pltpu.VMEM((OUT_SLOTS, grad_rows, chunk), jnp.float32),
+                pltpu.VMEM((grad_rows, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((IN_SLOTS,)),
                 pltpu.SemaphoreType.DMA((OUT_SLOTS,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, feat_t.shape[1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grad_rows, feat_t.shape[1]), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True
         ),
@@ -597,7 +741,7 @@ def _gather_stream(stream16, g_pad, valid):
 
 
 def world_blend_pallas(
-    stream16: jax.Array,  # [16, N] per-gaussian stream (pack_world_stream)
+    stream16: jax.Array,  # [16, N] (pack_world_stream) or [32, N] (_rs)
     rays_d: jax.Array,  # [Hp*Wp, 3]
     assignment,  # TileAssignment (compact layout, chunk == 1)
     n_touched: jax.Array,
@@ -606,14 +750,19 @@ def world_blend_pallas(
     grid_h: int,
     tile_size: int,
     n_channels: int = 3,
+    tau: jax.Array | None = None,  # [Hp*Wp] shutter times (rolling only)
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming exact world-space blend. Returns (image [Hp, Wp, C],
     alpha [Hp, Wp]). GLOBAL shutter only (the shared-ray-origin identity);
-    rolling-shutter cameras use the dense fallback (ops/world_blend.py).
-    No k_max truncation — every counted instance blends exactly."""
+    Rolling shutter: pass a [32, N] stream (pack_world_stream_rs) plus the
+    per-pixel shutter times `tau` — the kernel evaluates the tau-polynomial
+    numerator (see pack_world_stream_rs). No k_max truncation — every
+    counted instance blends exactly."""
     assert assignment.chunk == 1, "world blend streams the compact layout"
+    rs = stream16.shape[0] == STREAM_ROWS_RS
+    assert (tau is not None) == rs, "tau required iff the stream is 32-row"
     num_tiles = grid_w * grid_h
-    basis = ray_dir_basis(rays_d, grid_w, grid_h, tile_size)
+    basis = ray_dir_basis(rays_d, grid_w, grid_h, tile_size, tau=tau)
     out = _world_blend_gathered2(
         stream16,
         basis,
@@ -674,29 +823,31 @@ def _world_bwd2(num_tiles, tile_size, source_cap, chunk, res, g_out):
         feat_t, basis, tile_start, tile_count, out, g_out,
         num_tiles, tile_size, chunk,
     )
+    rows = feat_t.shape[0]  # 16 (global) or 32 (rolling shutter)
+    cr = rows - 2  # first color-pair row
     i_pad = slot_layout.shape[0]
     cols = sort_rows_to_slot_order(
-        [dfeat_t[k, :i_pad] for k in range(GRAD_ROWS)], slot_layout, valid,
+        [dfeat_t[k, :i_pad] for k in range(rows)], slot_layout, valid,
         source_cap, slice_to_cap=False,
-    )  # 16 x [i_pad]; rows 14-15 are bf16-paired color words
-    # dstream [16, N] feature-major, colors still PAIRED in rows 14-15 —
-    # summing packed words is meaningless, so unpack rows 14/15 into their
+    )  # rows x [i_pad]; the last two are bf16-paired color words
+    # dstream feature-major, colors still PAIRED in the last two rows —
+    # summing packed words is meaningless, so unpack them into their
     # 4 plain columns BEFORE the reduce, then re-pack via the straight-
     # through quantizer's convention (pack_colors_st's VJP unpacks them).
-    dr, dg = unpack_bf16_pair(cols[14])
-    db, daux = unpack_bf16_pair(cols[15])
-    plain = cols[0:14] + [dr, dg, db, daux]  # 18 columns
+    dr, dg = unpack_bf16_pair(cols[cr])
+    db, daux = unpack_bf16_pair(cols[cr + 1])
+    plain = cols[0:cr] + [dr, dg, db, daux]  # rows+2 columns
     red = _segment_reduce_call(
         plain, n_touched, source_cap, len(plain), False, feature_major_out=True
-    )  # [18, N]
+    )  # [rows+2, N]
     dstream = jnp.concatenate(
         [
-            red[0:14],
-            pack_bf16_pair(red[14], red[15])[None, :],
-            pack_bf16_pair(red[16], red[17])[None, :],
+            red[0:cr],
+            pack_bf16_pair(red[cr], red[cr + 1])[None, :],
+            pack_bf16_pair(red[cr + 2], red[cr + 3])[None, :],
         ],
         axis=0,
-    )  # [16, N]
+    )  # [rows, N]
     return (dstream, None, None, None, None, None, None)
 
 

@@ -223,19 +223,20 @@ def rasterize(
             w2c_end=camera.w2c_end, shutter_type=camera.shutter_type,
         )
         # Streaming Pallas path (full-resolution capable, NO k_max
-        # truncation): GLOBAL shutter only (the shared-ray-origin identity —
-        # see kernels/world_blend_pallas.py) and not ortho (per-pixel
-        # origins). cam_grad (pose optimization) needs d(loss)/d(rays),
-        # which the streaming kernel does not propagate — dense fallback.
+        # truncation): shared-ray-origin identity for GLOBAL shutter, the
+        # tau-affine extension for rolling shutters (see
+        # kernels/world_blend_pallas.py); not ortho (per-pixel origins).
+        # cam_grad (pose optimization) needs d(loss)/d(rays), which the
+        # streaming kernel does not propagate — dense fallback.
         use_stream = (
             mode == "pallas"
-            and camera.shutter_type == ShutterType.GLOBAL
             and camera.camera_model != CameraModelType.ORTHO
             and not cam_grad
         )
         if use_stream:
             from lichtfeld_studio_tpu.kernels.world_blend_pallas import (
                 pack_world_stream,
+                pack_world_stream_rs,
                 world_blend_pallas,
             )
 
@@ -243,15 +244,40 @@ def rasterize(
                 proj, grid_w=grid_w, grid_h=grid_h, instance_cap=instance_cap,
                 chunk_align=1, need_grad=not inference,
             )
-            stream16 = pack_world_stream(
-                splats.means, splats.scaling, splats.rotation,
-                proj.opacity, proj.color, camera.cam_position,
-                proj.depth if with_depth else None,
+            rolling = (
+                camera.shutter_type != ShutterType.GLOBAL
+                and camera.w2c_end is not None
             )
+            if rolling:
+                from lichtfeld_studio_tpu.ops.ut_projection import _shutter_time
+
+                r0, t0 = camera.w2c[:3, :3], camera.w2c[:3, 3]
+                r1, t1 = camera.w2c_end[:3, :3], camera.w2c_end[:3, 3]
+                o_start = -r0.T @ t0
+                o_end = -r1.T @ t1
+                hp, wp = grid_h * tile_size, grid_w * tile_size
+                ys, xs = jnp.mgrid[0:hp, 0:wp]
+                pts = jnp.stack(
+                    [xs.astype(jnp.float32) + 0.5, ys.astype(jnp.float32) + 0.5],
+                    -1,
+                ).reshape(-1, 2)
+                tau = _shutter_time(pts, camera.shutter_type, width, height)
+                stream = pack_world_stream_rs(
+                    splats.means, splats.scaling, splats.rotation,
+                    proj.opacity, proj.color, o_start, o_end,
+                    proj.depth if with_depth else None,
+                )
+            else:
+                tau = None
+                stream = pack_world_stream(
+                    splats.means, splats.scaling, splats.rotation,
+                    proj.opacity, proj.color, camera.cam_position,
+                    proj.depth if with_depth else None,
+                )
             image4, alpha = world_blend_pallas(
-                stream16, rays_d, assignment, proj.n_touched,
+                stream, rays_d, assignment, proj.n_touched,
                 grid_w=grid_w, grid_h=grid_h, tile_size=tile_size,
-                n_channels=n_ch,
+                n_channels=n_ch, tau=tau,
             )
         else:
             assignment = build_tile_assignment(
