@@ -64,14 +64,25 @@ def adam_step(
     state: AdamState,
     *,
     skip: dict[str, jax.Array] | None = None,
+    static_skip: tuple[str, ...] = (),
 ) -> tuple[dict, AdamState]:
     """One Adam step. `skip[k]` is an optional traced bool freezing group k
-    this iteration (shN heuristic / sparsity phases)."""
+    this iteration (shN heuristic / sparsity phases). `static_skip` freezes
+    groups at COMPILE time — the update is omitted entirely (the reference
+    skips the kernel launch, fused_adam.cpp:69-71; a traced select still
+    pays the full moment read/write traffic) — only the step count
+    advances, matching the reference's count-then-skip order."""
     new_params, new_m, new_v, new_c = {}, {}, {}, {}
     for k, p in params.items():
         g = grads[k]
         m, v = state.exp_avg[k], state.exp_avg_sq[k]
         c = state.step_count[k]
+        if k in static_skip:
+            new_params[k] = p
+            new_m[k] = m
+            new_v[k] = v
+            new_c[k] = c + 1  # advances even when skipped
+            continue
         do = jnp.asarray(True) if skip is None or k not in skip else ~skip[k]
         c1 = c + 1  # advances even when skipped (fused_adam.cpp:66-71)
         t = c1.astype(jnp.float32)

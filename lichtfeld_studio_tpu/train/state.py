@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from lichtfeld_studio_tpu.core.camera import CameraParams
 from lichtfeld_studio_tpu.core.splat_data import SplatData
-from lichtfeld_studio_tpu.ops.adam import AdamState, adam_step, init_adam, shn_skip_mask
+from lichtfeld_studio_tpu.ops.adam import AdamState, adam_step, init_adam
 from lichtfeld_studio_tpu.ops.losses import opacity_reg_loss, photometric_loss, scale_reg_loss
 from lichtfeld_studio_tpu.ops.mcmc_ops import make_binoms
 from lichtfeld_studio_tpu.ops.rasterize import rasterize
@@ -93,6 +93,11 @@ class StepFlags:
     sparsity_phase: bool = False
     admm_init: bool = False
     admm_update: bool = False
+    # shN frozen for iter <= 1000 (FusedAdam heuristic, fused_adam.cpp:69-71).
+    # STATIC so the frozen variant omits the [C,15,3] moment/param update
+    # entirely (the reference skips the kernel launch; a traced select still
+    # paid the full ~540 MB of moment traffic every early step).
+    shn_frozen: bool = False
 
 
 def step_flags(cfg: TrainConfig, iteration: int) -> StepFlags:
@@ -124,6 +129,7 @@ def step_flags(cfg: TrainConfig, iteration: int) -> StepFlags:
         sparsity_phase=in_sparsity,
         admm_init=cfg.enable_sparsity and iteration == cfg.base_iterations + 1,
         admm_update=in_sparsity and iteration % 50 == 0,
+        shn_frozen=iteration <= 1000,
     )
 
 
@@ -366,7 +372,8 @@ def apply_update(
 
     # --- Adam step on the (possibly relocated) params with this step's grads ---
     params, adam = adam_step(
-        splats.trainable_dict(), grads, adam, skip=shn_skip_mask(iteration)
+        splats.trainable_dict(), grads, adam,
+        static_skip=("shN",) if flags.shn_frozen else (),
     )
     splats = splats.replace_trainable(params)
 

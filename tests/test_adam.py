@@ -44,3 +44,25 @@ def test_lr_schedule():
     st = scale_lrs(st, jnp.asarray(0.5), groups=("means",))
     assert float(st.lr["means"]) == 0.5
     assert float(st.lr["sh0"]) == 1.0
+
+
+def test_static_skip_matches_traced_skip():
+    """static_skip (compile-time shN freeze) must produce the same state as
+    the traced skip mask — params/moments unchanged, step count advanced."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    p = {"shN": jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32)),
+         "means": jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))}
+    g = {k: jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+         for k, v in p.items()}
+    st = init_adam(p, {"shN": 1e-2, "means": 1e-2})
+    pa, sa = adam_step(p, g, st, skip={"shN": jnp.asarray(True)})
+    pb, sb = adam_step(p, g, st, static_skip=("shN",))
+    for k in p:
+        np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]), rtol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(sa.exp_avg[k]), np.asarray(sb.exp_avg[k]), rtol=1e-7
+        )
+    assert int(sb.step_count["shN"]) == 1
