@@ -202,9 +202,13 @@ def build_tile_assignment(
         key = (tile << depth_keep) | jax.lax.shift_right_logical(
             pl_t[2], 31 - depth_keep
         )
-        key_sorted, slot_sorted, g_sorted = jax.lax.sort(
-            (key, slot, g), dimension=0, num_keys=1, is_stable=False
+        # need_grad=False: the pre-sort slot ids exist only for the gradient
+        # path's restore sort — don't carry them through the sort (sort cost
+        # is per OPERAND; XLA cannot narrow a variadic sort by DCE)
+        key_sorted, g_sorted = jax.lax.sort(
+            (key, g), dimension=0, num_keys=1, is_stable=False
         )
+        slot_sorted = jnp.zeros_like(slot)
         tile_sorted = key_sorted >> depth_keep
     else:
         tile_sorted, _, slot_sorted, g_sorted = jax.lax.sort(

@@ -35,24 +35,35 @@ def main():
         max_sh_degree=3, scene_scale=3.0,
     )
     mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "tiles"
-    # tile_size auto-selects 32 px for inference; at 32 px this orbit peaks
-    # at ~1.72M instances (vs 3.35M at 16 px, which silently overflowed the
-    # old 2.5M cap) — 2^21 renders every frame exactly
-    f = jax.jit(lambda s, w2c, cp: rasterize(
-        s, CameraParams(w2c=w2c, cam_position=cp,
-                        K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
-                        uid=jnp.asarray(0, jnp.int32), width=W, height=H),
-        jnp.zeros(3), mode=mode, instance_cap=2_097_152, inference=True))
     cams = []
+    cam_objs = []
     for k in range(8):
         th = 2 * np.pi * k / 8
         c = look_at_camera(8.0 * np.array([np.sin(th), -0.1, -np.cos(th)]), np.zeros(3),
                            np.array([0.0, -1.0, 0.0]), 1500.0, 1500.0, W, H)
+        cam_objs.append(c)
         cams.append((jnp.asarray(c.w2c), jnp.asarray(c.cam_position)))
+    # probe-snug instance cap: the same projection-only probe + snug bucket
+    # the production headless renderer uses (render_view) — every binning/
+    # gather/blend stage scales with the STATIC cap, so the old fixed 2^21
+    # cap taxed each frame ~20% over the true 1.72M peak
+    from lichtfeld_studio_tpu.ops.rasterize import count_instances
+
+    probe = jax.jit(count_instances, static_argnames=("tile_size",))
+    peak = max(
+        int(probe(sd, c.device_params(), tile_size=32)) for c in cam_objs
+    )
+    cap = -(-int(peak * 1.04) // 128) * 128
+    print(f"peak instances over orbit: {peak} -> cap {cap}", file=sys.stderr)
+    f = jax.jit(lambda s, w2c, cp: rasterize(
+        s, CameraParams(w2c=w2c, cam_position=cp,
+                        K=jnp.asarray([1500.0, 1500.0, W / 2, H / 2], jnp.float32),
+                        uid=jnp.asarray(0, jnp.int32), width=W, height=H),
+        jnp.zeros(3), mode=mode, instance_cap=cap, inference=True))
     out = f(sd, *cams[0]); _ = float(out.image.ravel()[0])
     n_inst = int(out.n_instances)
     print(f"instances (view 0): {n_inst}", file=sys.stderr)
-    assert n_inst <= 2_097_152, "instance cap overflow — bench frame is lossy"
+    assert n_inst <= cap, "instance cap overflow — bench frame is lossy"
     n_frames = 20
     t0 = time.time()
     for k in range(n_frames):
