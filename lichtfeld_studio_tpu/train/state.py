@@ -121,7 +121,18 @@ def step_flags(cfg: TrainConfig, iteration: int) -> StepFlags:
             and iteration % m.refine_every == 0
             and iteration % cfg.reset_every >= cfg.pause_refine_after_reset
         )
-        reset = not in_sparsity and iteration % cfg.reset_every == 0 and iteration > 0
+        # opacity resets ONLY inside the refinement window: the reference's
+        # post_backward returns before the reset once iter >= stop_refine
+        # (default_strategy.cpp:304-318). Without this gate a reset landing
+        # on/after stop_refine never recovers (no refinement follows) — the
+        # 30k ADC protocol measured 29.2 dB at 7.5k collapsing to 10.8 dB at
+        # 30k from a reset at the final step.
+        reset = (
+            not in_sparsity
+            and iteration % cfg.reset_every == 0
+            and iteration > 0
+            and iteration < m.stop_refine
+        )
     return StepFlags(
         refine=refine,
         sh_step=iteration % m.sh_degree_interval == 0,

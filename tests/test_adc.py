@@ -127,3 +127,21 @@ def test_adc_training_smoke(rng):
     assert int(state.splats.n_active) >= 32  # growth may trigger
     # densify stats accumulated and finite
     assert np.isfinite(np.asarray(state.densify_grad)).all()
+
+
+def test_adc_reset_gated_by_stop_refine():
+    """Opacity resets must stop at stop_refine like the reference
+    (default_strategy.cpp:304-318 returns before the reset once
+    iter >= stop_refine). A reset on/after stop_refine never recovers —
+    the 30k protocol measured a 29 -> 11 dB collapse from a reset landing
+    on the final step."""
+    from lichtfeld_studio_tpu.train.strategies.mcmc import MCMCConfig
+
+    cfg = TrainConfig(
+        strategy="default", reset_every=3000, iterations=30_000,
+        mcmc=MCMCConfig(start_refine=500, stop_refine=27_000, refine_every=100),
+    )
+    assert step_flags(cfg, 3000).reset
+    assert step_flags(cfg, 24_000).reset
+    assert not step_flags(cfg, 27_000).reset  # iter >= stop_refine
+    assert not step_flags(cfg, 30_000).reset

@@ -6,7 +6,13 @@ the torch oracle (tests/test_garden_data.cpp:56-677). Here the fixture is a
 frozen trained checkpoint (tools/make_golden.py; tests/data/
 golden_splats.npz) and the comparison runs pallas-interpret vs tiles vs the
 dense oracle on realistic statistics — heavy-tailed footprints, anisotropy,
-deep tiles — that the small synthetic suites cannot produce."""
+deep tiles — that the small synthetic suites cannot produce.
+
+Provenance caveat: the fixture is SELF-TRAINED by this repo's own trainer
+(no datasets/egress in this environment), so a systematic bias shared by
+the trainer and the fixture would be invisible here; the reference's
+externally-trained garden tensors remain the stronger gate and should
+replace this fixture the moment a real scene is available."""
 
 from pathlib import Path
 
