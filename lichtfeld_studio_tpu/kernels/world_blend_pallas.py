@@ -768,6 +768,7 @@ def world_blend_pallas(
         basis,
         assignment.gaussian_idx,
         assignment.slot_layout,
+        assignment.slot_gaussian,
         assignment.instance_valid,
         n_touched,
         (assignment.tile_start, assignment.tile_count),
@@ -790,9 +791,10 @@ def world_blend_pallas(
 # the reference's warp atomics, Bwd.cu:17-561) -----------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _world_blend_gathered2(
-    stream16, basis, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    stream16, basis, g_pad, slot_layout, slot_g, valid, n_touched,
+    tile_counts_pair,
     num_tiles, tile_size, source_cap, chunk,
 ):
     tile_start, tile_count = tile_counts_pair
@@ -803,7 +805,8 @@ def _world_blend_gathered2(
 
 
 def _world_fwd2(
-    stream16, basis, g_pad, slot_layout, valid, n_touched, tile_counts_pair,
+    stream16, basis, g_pad, slot_layout, slot_g, valid, n_touched,
+    tile_counts_pair,
     num_tiles, tile_size, source_cap, chunk,
 ):
     tile_start, tile_count = tile_counts_pair
@@ -811,14 +814,14 @@ def _world_fwd2(
     out = _forward_call(
         feat_t, basis, tile_start, tile_count, num_tiles, tile_size, chunk
     )
-    return out, (feat_t, basis, slot_layout, valid, n_touched, tile_start, tile_count, out)
+    return out, (feat_t, basis, slot_layout, slot_g, valid, n_touched, tile_start, tile_count, out)
 
 
 def _world_bwd2(num_tiles, tile_size, source_cap, chunk, res, g_out):
     from lichtfeld_studio_tpu.kernels.segment_reduce import _segment_reduce_call
     from lichtfeld_studio_tpu.ops.tiles import sort_rows_to_slot_order
 
-    feat_t, basis, slot_layout, valid, n_touched, tile_start, tile_count, out = res
+    feat_t, basis, slot_layout, slot_g, valid, n_touched, tile_start, tile_count, out = res
     dfeat_t = _backward_call(
         feat_t, basis, tile_start, tile_count, out, g_out,
         num_tiles, tile_size, chunk,
@@ -838,7 +841,8 @@ def _world_bwd2(num_tiles, tile_size, source_cap, chunk, res, g_out):
     db, daux = unpack_bf16_pair(cols[cr + 1])
     plain = cols[0:cr] + [dr, dg, db, daux]  # rows+2 columns
     red = _segment_reduce_call(
-        plain, n_touched, source_cap, len(plain), False, feature_major_out=True
+        plain, n_touched, source_cap, len(plain), False, feature_major_out=True,
+        slot_g=slot_g,
     )  # [rows+2, N]
     dstream = jnp.concatenate(
         [
@@ -848,7 +852,7 @@ def _world_bwd2(num_tiles, tile_size, source_cap, chunk, res, g_out):
         ],
         axis=0,
     )  # [rows, N]
-    return (dstream, None, None, None, None, None, None)
+    return (dstream, None, None, None, None, None, None, None)
 
 
 _world_blend_gathered2.defvjp(_world_fwd2, _world_bwd2)
