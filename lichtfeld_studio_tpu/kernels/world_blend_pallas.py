@@ -19,40 +19,46 @@ camera every pixel ray shares one origin, so with
     gro = M (ray_o - mean)         (per gaussian — constant over pixels!)
     grd = M d(p)                   (d = per-pixel ray direction)
 
-the squared min Mahalanobis distance along the ray is a RATIO OF TWO
-QUADRATIC FORMS in the ray direction alone:
+the squared min Mahalanobis distance along the ray is
 
-    |grd x gro|^2 = d^T C^T C d    with C = -skew(gro) M
-    |grd|^2       = d^T M^T M d
-    dist(p)       = (d^T G d) / (d^T Q d),   G = C^T C, Q = M^T M
+    dist(p) = |C d|^2 / |M d|^2    with C = -skew(gro) M
 
-so alpha(p) = min(op * exp(-dist/2), 0.999) needs only TWO
-[6, CHUNK] x [6, P] MXU contractions per chunk against a per-tile
-ray-direction basis [dx^2, dy^2, dz^2, dx*dy, dx*dz, dy*dz] — barely more
-than the 2D kernel's single conic contraction. The per-gaussian G/Q
-construction is [N]-wide JAX (differentiable; the custom VJP boundary sits
-at the packed stream, so autodiff carries dG/dQ back to means/quats/scales
-automatically). Rolling shutter keeps the MXU form through a tau-affine
-origin model — see pack_world_stream_rs (three numerator forms G0/G1/G2
-against a per-pixel shutter-time row; exact directions, chordal origins).
+evaluated LINEARLY on the MXU: y = C d and z = M d are six [3, CHUNK] x
+[3, P] contractions per chunk against the tile's raw ray-direction rows,
+then num = y1^2+y2^2+y3^2 and den likewise on the VPU. The earlier
+quadratic-form variant (num = d^T (C^T C) d against a [dx^2 ... dydz]
+basis) was measurably wrong at TRAINED statistics: expanding the square
+moves the cancellation from sin(theta) to sin^2(theta), and for a gaussian
+|gro| sigma-units from the camera the f32 G-entries lose the distance
+entirely once |gro| >~ 1300 (selfcheck parity gate caught 2% of pixels off
+by up to 0.25 on a converged model). The linear form cancels like the
+reference's per-pixel cross product (Fwd.cu:228-241) — error ~2^-24/sin,
+good to |gro| ~ 1e6 sigma. The per-gaussian C/M construction is [N]-wide
+JAX (differentiable; the custom VJP boundary sits at the packed stream, so
+autodiff carries dC/dM back to means/quats/scales automatically). Rolling
+shutter keeps the form with a tau-affine origin model: C(tau) = C0 + tau C1
+so y = y0 + tau y1 — see pack_world_stream_rs (exact slerp directions,
+chordal origins).
 
-Stream layout [16, I] (feature-major, instances on the lane axis):
-  rows 0-5  G6' = [G00, G11, G22, 2*G01, 2*G02, 2*G12] / (2 ln2)
-            (the 1/(2 ln2) fold makes s = num/den + nlog2(op) exp2-ready,
-            same trick as the 2D kernel's log2-unit thresholds)
-  rows 6-11 Q6  = [Q00, Q11, Q22, 2*Q01, 2*Q02, 2*Q12]
-  row  12   -log2(opacity)
-  row  13   spare (zeros)
-  rows 14-15 colors as bf16 pairs (r|g, b|aux) — aux carries depth for the
-            D/ED render modes.
+Stream layout [24, I] (feature-major, instances on the lane axis):
+  rows 0-8   C' = C / sqrt(2 ln2), row-major (the fold makes
+             s = num/den + nlog2(op) exp2-ready, same trick as the 2D
+             kernel's log2-unit thresholds)
+  rows 9-17  M, row-major
+  row  18    -log2(opacity)
+  rows 19-21 spare (zeros)
+  rows 22-23 colors as bf16 pairs (r|g, b|aux) — aux carries depth for the
+             D/ED render modes.
+Rolling shutter [32, I]: rows 0-8 C0', 9-17 C1', 18-26 M, 27 -log2(op),
+rows 28-29 spare, 30-31 colors.
 
-Per-tile ray basis [T, 8, P]: rows 0-5 the quadratic direction basis,
-row 6 ones (the backward's plain-u moment rides the same stacked matmul),
-row 7 zeros.
+Per-tile ray basis [T, 8, P]: rows 0-2 the raw ray direction, row 3 ones
+(the backward's plain-u moment rides the same stacked matmul), row 4 the
+per-pixel shutter time tau (zeros for global), rows 5-7 zeros.
 
-Backward writeback [16, I]: rows 0-5 dG6', 6-11 dQ6, 12 d(nlog2op), 13 zeros,
-rows 14-15 dcolor bf16 pairs. Reduction to per-gaussian: the same
-slot-restore sort + interval-membership segment reduce as the 2D path.
+Backward writeback mirrors the stream layout (dC' / dM / d(nlog2op) /
+dcolor pairs). Reduction to per-gaussian: the same slot-restore sort +
+equality-membership segment reduce as the 2D path.
 """
 
 from __future__ import annotations
@@ -83,14 +89,34 @@ from lichtfeld_studio_tpu.ops.projection import (
     TRANSMITTANCE_THRESHOLD,
 )
 
-STREAM_ROWS = 16
-GRAD_ROWS = 16
-# Rolling-shutter stream (see pack_world_stream_rs): rows 0-5 G0', 6-11 G1',
-# 12-17 G2', 18-23 Q6, 24 -log2(op), 25-29 spare, 30-31 colors.
+STREAM_ROWS = 24
+GRAD_ROWS = 24
+# Rolling-shutter stream (see pack_world_stream_rs): rows 0-8 C0',
+# 9-17 C1', 18-26 M, 27 -log2(op), 28-29 spare, 30-31 colors.
 STREAM_ROWS_RS = 32
 _LOG2_MIN_ALPHA = math.log2(MIN_ALPHA_THRESHOLD)
 _LOG2_MAX_FRAGMENT = math.log2(MAX_FRAGMENT_ALPHA)
 _LN2 = math.log(2.0)
+_INV_SQRT_2LN2 = 1.0 / math.sqrt(2.0 * _LN2)
+
+
+def _skew_rows(g):
+    """[N, 3] -> skew(g) [N, 3, 3]."""
+    gx, gy, gz = g[:, 0], g[:, 1], g[:, 2]
+    zeros = jnp.zeros_like(gx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -gz, gy], -1),
+            jnp.stack([gz, zeros, -gx], -1),
+            jnp.stack([-gy, gx, zeros], -1),
+        ],
+        -2,
+    )
+
+
+def _rows9(a):
+    """[N, 3, 3] -> [9, N] row-major."""
+    return a.reshape(a.shape[0], 9).T
 
 
 def pack_world_stream(
@@ -102,53 +128,33 @@ def pack_world_stream(
     ray_o: jax.Array,  # [3] shared camera origin (GLOBAL shutter)
     depth: jax.Array | None = None,
 ) -> jax.Array:
-    """Per-gaussian streamed features [16, N] (see module docstring).
+    """Per-gaussian streamed features [24, N] (see module docstring).
     Pure JAX and differentiable — sits OUTSIDE the custom-VJP boundary, so
-    d(G6', Q6, op, colors) flow back to the raw parameters automatically.
+    d(C', M, op, colors) flow back to the raw parameters automatically.
     Math mirrors ops/world_blend.py::_alphas_world (Fwd.cu:207-241)."""
-    from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
-
     n = means.shape[0]
     qn = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
     inv_s = jnp.exp(-log_scales)  # [N, 3]
+    from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
+
     rot = quat_to_rotmat(qn)  # [N, 3, 3]
     m = inv_s[:, :, None] * jnp.swapaxes(rot, -1, -2)  # [N, 3, 3] rows = 1/s_i * R[:, i]
-    gro = jnp.einsum("nij,nj->ni", m, ray_o[None, :] - means)  # [N, 3]
+    gro = jnp.einsum("nij,nj->ni", m, ray_o[None, :] - means, precision=jax.lax.Precision.HIGHEST)  # [N, 3]
     # C = -skew(gro) @ M  (cross(grd, gro) = -gro x grd = C d)
-    gx, gy, gz = gro[:, 0], gro[:, 1], gro[:, 2]
-    zeros = jnp.zeros_like(gx)
-    skew = jnp.stack(
-        [
-            jnp.stack([zeros, -gz, gy], -1),
-            jnp.stack([gz, zeros, -gx], -1),
-            jnp.stack([-gy, gx, zeros], -1),
-        ],
-        -2,
-    )  # [N, 3, 3] = skew(gro)
-    c = -jnp.einsum("nij,njk->nik", skew, m)
-    g = jnp.einsum("nji,njk->nik", c, c)  # C^T C
-    q = jnp.einsum("nji,njk->nik", m, m)  # M^T M
-
-    def sym6(a, scale):
-        return jnp.stack(
-            [
-                a[:, 0, 0] * scale,
-                a[:, 1, 1] * scale,
-                a[:, 2, 2] * scale,
-                2.0 * a[:, 0, 1] * scale,
-                2.0 * a[:, 0, 2] * scale,
-                2.0 * a[:, 1, 2] * scale,
-            ]
-        )  # [6, N]
-
-    g6 = sym6(g, 1.0 / (2.0 * _LN2))
-    q6 = sym6(q, 1.0)
+    c = -jnp.einsum("nij,njk->nik", _skew_rows(gro), m, precision=jax.lax.Precision.HIGHEST)
     nlog_op = -jnp.log2(jnp.maximum(opacity, 1e-12))[None, :]
     aux = depth if depth is not None else jnp.zeros((n,), means.dtype)
     colors = pack_colors_st(color[:, 0], color[:, 1], color[:, 2], aux)  # [2, N]
     return jnp.concatenate(
-        [g6, q6, nlog_op, jnp.zeros((1, n), means.dtype), colors], axis=0
-    )  # [16, N]
+        [
+            _rows9(c) * _INV_SQRT_2LN2,
+            _rows9(m),
+            nlog_op,
+            jnp.zeros((3, n), means.dtype),
+            colors,
+        ],
+        axis=0,
+    )  # [24, N]
 
 
 @jax.custom_vjp
@@ -180,11 +186,11 @@ def ray_dir_basis(
     tile_size: int,
     tau: jax.Array | None = None,  # [Hp*Wp] per-pixel shutter time
 ) -> jax.Array:
-    """Per-tile quadratic ray-direction basis [T, 8, P]:
-    rows 0-5 [dx^2, dy^2, dz^2, dx*dy, dx*dz, dy*dz], row 6 ones, row 7 the
-    per-pixel shutter time tau (rolling shutter) or zeros (global).
-    The ratio dist = (d^T G d)/(d^T Q d) is scale-invariant in d, so the
-    directions need no normalization."""
+    """Per-tile ray-direction basis [T, 8, P]: rows 0-2 the raw direction
+    [dx, dy, dz], row 3 ones, row 4 the per-pixel shutter time tau (rolling
+    shutter; zeros for global), rows 5-7 zeros. The ratio
+    dist = |C d|^2/|M d|^2 is scale-invariant in d, so the directions need
+    no normalization."""
     ts = tile_size
 
     def tile_major(x):
@@ -197,12 +203,10 @@ def ray_dir_basis(
     t_p = tile_major(rays_d)  # [T, P, 3]
     dx, dy, dz = t_p[..., 0], t_p[..., 1], t_p[..., 2]
     ones = jnp.ones_like(dx)
-    tau_row = (
-        tile_major(tau[:, None])[..., 0] if tau is not None else jnp.zeros_like(dx)
-    )
+    zeros = jnp.zeros_like(dx)
+    tau_row = tile_major(tau[:, None])[..., 0] if tau is not None else zeros
     return jnp.stack(
-        [dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz, ones, tau_row],
-        axis=1,
+        [dx, dy, dz, ones, tau_row, zeros, zeros, zeros], axis=1
     )  # [T, 8, P]
 
 
@@ -221,22 +225,18 @@ def pack_world_stream_rs(
     The shared-origin identity extends to a MOVING origin that is AFFINE in
     the per-pixel shutter time tau: with o(tau) = o_start + tau*v,
     gro(tau) = gro0 + tau*u (u = M v), so C(tau) = C0 + tau*C1 and the
-    numerator |C(tau) d|^2 is a tau-polynomial of three quadratic forms:
+    linear evaluation becomes y = (C0 d) + tau*(C1 d) — six [3,CHUNK]x[3,P]
+    contractions plus per-pixel multiply-adds per chunk. The denominator
+    |M d|^2 is pose-independent. Ray DIRECTIONS stay exact (per-scanline
+    slerp pose, world_ray_table); only the ORIGIN path is chordal: the
+    reference's slerp origin o(tau) deviates from the chord by
+    <= |t| * theta^2 / 8 (theta = inter-pose rotation) — sub-pixel for any
+    physical shutter, and EXACT for translation-only motion. Reference:
+    per-pixel pose re-evaluation in gsplat/Cameras.cuh:253-413; the dense
+    fallback (ops/world_blend.py) keeps exact per-pixel origins.
 
-        num = d^T G0 d + tau * d^T G1 d + tau^2 * d^T G2 d
-        G0 = C0^T C0,  G1 = C0^T C1 + C1^T C0,  G2 = C1^T C1
-
-    — three [6,CHUNK]x[6,P] MXU contractions + two per-pixel multiply-adds
-    per chunk. The denominator d^T Q d is pose-independent. Ray DIRECTIONS
-    stay exact (per-scanline slerp pose, world_ray_table); only the ORIGIN
-    path is chordal: the reference's slerp origin o(tau) deviates from the
-    chord by <= |t| * theta^2 / 8 (theta = inter-pose rotation) — sub-pixel
-    for any physical shutter, and EXACT for translation-only motion.
-    Reference: per-pixel pose re-evaluation in gsplat/Cameras.cuh:253-413;
-    the dense fallback (ops/world_blend.py) keeps exact per-pixel origins.
-
-    Rows: 0-5 G0', 6-11 G1', 12-17 G2' (1/(2 ln2)-folded), 18-23 Q6,
-    24 -log2(op), 25-29 spare, 30-31 colors (bf16 pairs)."""
+    Rows: 0-8 C0', 9-17 C1' (both 1/sqrt(2 ln2)-folded), 18-26 M,
+    27 -log2(op), 28-29 spare, 30-31 colors (bf16 pairs)."""
     from lichtfeld_studio_tpu.ops.gaussians import quat_to_rotmat
 
     n = means.shape[0]
@@ -244,49 +244,16 @@ def pack_world_stream_rs(
     inv_s = jnp.exp(-log_scales)
     rot = quat_to_rotmat(qn)
     m = inv_s[:, :, None] * jnp.swapaxes(rot, -1, -2)  # [N, 3, 3]
-    gro0 = jnp.einsum("nij,nj->ni", m, o_start[None, :] - means)
-    u = jnp.einsum("nij,j->ni", m, o_end - o_start)
-
-    def skew(g):
-        gx, gy, gz = g[:, 0], g[:, 1], g[:, 2]
-        zeros = jnp.zeros_like(gx)
-        return jnp.stack(
-            [
-                jnp.stack([zeros, -gz, gy], -1),
-                jnp.stack([gz, zeros, -gx], -1),
-                jnp.stack([-gy, gx, zeros], -1),
-            ],
-            -2,
-        )
-
-    c0 = -jnp.einsum("nij,njk->nik", skew(gro0), m)
-    c1 = -jnp.einsum("nij,njk->nik", skew(u), m)
-    g0 = jnp.einsum("nji,njk->nik", c0, c0)
-    g1 = jnp.einsum("nji,njk->nik", c0, c1) + jnp.einsum("nji,njk->nik", c1, c0)
-    g2 = jnp.einsum("nji,njk->nik", c1, c1)
-    q = jnp.einsum("nji,njk->nik", m, m)
-
-    def sym6(a, scale):
-        return jnp.stack(
-            [
-                a[:, 0, 0] * scale,
-                a[:, 1, 1] * scale,
-                a[:, 2, 2] * scale,
-                (a[:, 0, 1] + a[:, 1, 0]) * scale,
-                (a[:, 0, 2] + a[:, 2, 0]) * scale,
-                (a[:, 1, 2] + a[:, 2, 1]) * scale,
-            ]
-        )  # [6, N] (off-diagonal entries summed: works for non-symmetric
-        #   construction like C0^T C1 + C1^T C0's halves too)
-
-    inv2ln2 = 1.0 / (2.0 * _LN2)
+    gro0 = jnp.einsum("nij,nj->ni", m, o_start[None, :] - means, precision=jax.lax.Precision.HIGHEST)
+    u = jnp.einsum("nij,j->ni", m, o_end - o_start, precision=jax.lax.Precision.HIGHEST)
+    c0 = -jnp.einsum("nij,njk->nik", _skew_rows(gro0), m, precision=jax.lax.Precision.HIGHEST)
+    c1 = -jnp.einsum("nij,njk->nik", _skew_rows(u), m, precision=jax.lax.Precision.HIGHEST)
     rows = [
-        sym6(g0, inv2ln2),
-        sym6(g1, inv2ln2),
-        sym6(g2, inv2ln2),
-        sym6(q, 1.0),
+        _rows9(c0) * _INV_SQRT_2LN2,
+        _rows9(c1) * _INV_SQRT_2LN2,
+        _rows9(m),
         -jnp.log2(jnp.maximum(opacity, 1e-12))[None, :],
-        jnp.zeros((5, n), means.dtype),
+        jnp.zeros((2, n), means.dtype),
         pack_colors_st(
             color[:, 0], color[:, 1], color[:, 2],
             depth if depth is not None else jnp.zeros((n,), means.dtype),
@@ -295,45 +262,66 @@ def pack_world_stream_rs(
     return jnp.concatenate(rows, axis=0)  # [32, N]
 
 
-def _alpha_world_mxu(f, basis, in_range, exact=True, rs=False,
-                     tau=None, tau2=None):
-    """alpha [CHUNK, P] from the streamed rows + the tile's direction basis.
-    s = num/(Q6.B) + nlog2(op)  (log2 units);  alpha_raw = exp2(-s), where
-    num = G6'.B (global shutter) or G0'.B + tau*(G1'.B) + tau2*(G2'.B)
-    (rolling shutter; tau/tau2 are the tile's [1, P] shutter-time rows).
-    Returns (alpha, s, nlog_op_col). Masks mirror the 2D kernel: keep iff
-    alpha_raw >= 1/255  <=>  s <= log2(255); out-of-range lanes fold into
-    nlog_op (+1e10) so they fail the keep test with zero extra passes.
-    dist >= 0 always (ratio of PSD forms), so the sigma2>=0 gate of the 2D
-    kernel is vacuous here."""
+def _yz_world_mxu(f, basis, rs=False, tau=None, exact=True):
+    """(y [3][CHUNK, P], z [3][CHUNK, P]) from the streamed rows + the
+    tile's raw direction rows: y_k = (C' d)_k, z_k = (M d)_k — six (nine
+    for rolling shutter) [3, CHUNK] x [3, P] contractions. LINEAR in d, so
+    the cancellation behaves like the reference's per-pixel cross product
+    (see module docstring)."""
     dims = (((0,), (0,)), ((), ()))
-    b6 = basis[0:6]
+    d3 = jnp.stack([basis[0, :], basis[1, :], basis[2, :]])
     if exact:
-        dot6 = functools.partial(
+        dot = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
     else:
-        dot6 = functools.partial(_dot3, dims=dims)
+        dot = functools.partial(_dot3, dims=dims)
+
+    def rows3(a):
+        # explicit single-row stack instead of f[a:a+3]: multi-row slices of
+        # the streamed block at non-8-aligned sublane offsets MISCOMPILE
+        # under Mosaic (silent wrong operand rows; interpret mode and the
+        # 2D kernel's single-row reads are fine) — see PERFNOTES r5
+        return jnp.stack([f[a, :], f[a + 1, :], f[a + 2, :]])
+
     if rs:
-        num = dot6(f[0:6], b6) + tau * dot6(f[6:12], b6) + tau2 * dot6(f[12:18], b6)
-        den = dot6(f[18:24], b6)
-        nlog_op = f[24, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
+        y = [
+            dot(rows3(3 * k), d3) + tau * dot(rows3(9 + 3 * k), d3)
+            for k in range(3)
+        ]
+        z = [dot(rows3(18 + 3 * k), d3) for k in range(3)]
     else:
-        num = dot6(f[0:6], b6)  # [CHUNK, P]
-        den = dot6(f[6:12], b6)
-        nlog_op = f[12, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
+        y = [dot(rows3(3 * k), d3) for k in range(3)]
+        z = [dot(rows3(9 + 3 * k), d3) for k in range(3)]
+    return y, z
+
+
+def _alpha_world_mxu(f, basis, in_range, exact=True, rs=False, tau=None):
+    """alpha [CHUNK, P] from the streamed rows + the tile's direction rows.
+    s = (|C' d|^2)/(|M d|^2) + nlog2(op) (log2 units); alpha_raw = exp2(-s).
+    Returns (alpha, s, nlog_op_col, y, z) — the backward reuses y/z for its
+    moment contractions. Masks mirror the 2D kernel: keep iff
+    alpha_raw >= 1/255 <=> s <= log2(255); out-of-range lanes fold into
+    nlog_op (+1e10) so they fail the keep test with zero extra passes.
+    dist >= 0 always (ratio of sums of squares), so the sigma2>=0 gate of
+    the 2D kernel is vacuous here."""
+    y, z = _yz_world_mxu(f, basis, rs=rs, tau=tau, exact=exact)
+    num = y[0] * y[0] + y[1] * y[1] + y[2] * y[2]
+    den = z[0] * z[0] + z[1] * z[1] + z[2] * z[2]
+    op_row = 27 if rs else 18
+    nlog_op = f[op_row, :] + jnp.where(in_range[0], 0.0, 1e10)  # [CHUNK]
     nlog_op_col = nlog_op[:, None]
-    s = num / jnp.maximum(den, 1e-18) + nlog_op_col
+    s = num / jnp.maximum(den, 1e-30) + nlog_op_col
     alpha = jnp.minimum(jnp.exp2(-s), MAX_FRAGMENT_ALPHA)
     keep = s <= -_LOG2_MIN_ALPHA
-    return jnp.where(keep, alpha, 0.0), s, nlog_op_col
+    return jnp.where(keep, alpha, 0.0), s, nlog_op_col, y, z
 
 
 def _unpack_colors_w(f, rs=False):
-    cr = 30 if rs else 14
+    cr = 30 if rs else 22
     r, g = unpack_bf16_pair(f[cr, :])
     b, aux = unpack_bf16_pair(f[cr + 1, :])
     return jnp.stack([r, g, b, aux])
@@ -363,10 +351,8 @@ def _forward_kernel(
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
     basis = basis_ref[0]  # [8, P]
-    # rolling shutter: basis row 7 carries the tile's per-pixel shutter
-    # time; tau^2 is loop-invariant ([1, P], computed once per tile)
-    tau = basis[7:8] if rs else None
-    tau2 = tau * tau if rs else None
+    # rolling shutter: basis row 4 carries the tile's per-pixel shutter time
+    tau = basis[4:5] if rs else None
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -398,8 +384,8 @@ def _forward_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         gi = ci * chunk + lane
         in_range = (gi >= off) & (gi < end_rel)
-        alpha, _, _ = _alpha_world_mxu(
-            f, basis, in_range, rs=rs, tau=tau, tau2=tau2
+        alpha, _, _, _, _ = _alpha_world_mxu(
+            f, basis, in_range, rs=rs, tau=tau
         )  # [CHUNK, P]
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
@@ -471,8 +457,7 @@ def _backward_kernel(
     end_rel = off + count
     n_chunks = pl.cdiv(end_rel, chunk)
     basis = basis_ref[0]  # [8, P]
-    tau = basis[7:8] if rs else None
-    tau2 = tau * tau if rs else None
+    tau = basis[4:5] if rs else None
 
     g_img = gout_ref[0, 0:4, :]
     g_tfin = gout_ref[0, 4, :][None, :]
@@ -528,8 +513,8 @@ def _backward_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         gi = ci * chunk + lane
         in_range = (gi >= off) & (gi < end_rel)
-        alpha, s, nlog_op_col = _alpha_world_mxu(
-            f, basis, in_range, rs=rs, tau=tau, tau2=tau2
+        alpha, s, nlog_op_col, yv, zv = _alpha_world_mxu(
+            f, basis, in_range, rs=rs, tau=tau
         )
 
         prod_incl = _prefix_prod_rows(1.0 - alpha)
@@ -562,31 +547,36 @@ def _backward_kernel(
             live, (alpha / (1.0 - alpha)) * (r0 - a_incl) - wcg, 0.0
         )  # [CHUNK, P]
 
-        # s = num/den + nlog2(op) (log2 units) gives
-        #   dL/ds    = ln2 * u          (alpha = exp2(-s); u = -dL/dalpha*alpha)
-        #   dL/dG6'_j   = sum_p (ln2*u/den) B_j        -> moments of u1
-        #     (rolling shutter: dG0' <- u1, dG1' <- u1*tau, dG2' <- u1*tau^2)
-        #   dL/dQ6_j    = sum_p (-ln2*u*sdist/den) B_j -> moments of u2
-        #   dL/dnlog2op = ln2 * sum_p u                -> ones-row moment of u
-        # den must be REPLAYED (not streamed): recompute from Q6.
-        dims = (((0,), (0,)), ((), ()))
-        den = jax.lax.dot_general(
-            f[18:24] if rs else f[6:12], basis[0:6], dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        inv_den = 1.0 / jnp.maximum(den, 1e-18)
+        # s = |C' d|^2/|M d|^2 + nlog2(op) (log2 units) gives
+        #   dL/ds      = ln2 * u        (alpha = exp2(-s); u = -dL/dalpha*alpha)
+        #   dL/dC'_kj  = sum_p 2*(ln2*u/den)*y_k*d_j       -> u1-moments
+        #     (rolling shutter: dC0' <- 2*u1*y, dC1' <- 2*u1*y*tau)
+        #   dL/dM_kj   = sum_p 2*(-ln2*u*sdist/den)*z_k*d_j -> u2-moments
+        #   dL/dnlog2op = ln2 * sum_p u  (ones-row moment; the OUTER autodiff
+        #     chains through -log2(op) — emitting dL/dop here would
+        #     double-apply the chain rule)
+        # den is recomputed from the replayed z (never streamed).
+        den = zv[0] * zv[0] + zv[1] * zv[1] + zv[2] * zv[2]
+        inv_den = 1.0 / jnp.maximum(den, 1e-30)
         sdist = s - nlog_op_col  # num/den, >= 0
-        u1 = (_LN2 * u) * inv_den
+        u1 = (2.0 * _LN2 * u) * inv_den
         u2 = -u1 * sdist
-        # ONE stacked moment contraction: basis7 [7, P] x [P, k*CHUNK]
+        # ONE stacked moment contraction: basis[0:4] [4, P] x [P, k*CHUNK]
+        # (rows 0-2 = d, row 3 = ones)
         if rs:
             stacked = jnp.concatenate(
-                [u1, u1 * tau, u1 * tau2, u2, u], axis=0
-            )  # [5*CHUNK, P]
+                [u1 * yv[0], u1 * yv[1], u1 * yv[2],
+                 (u1 * tau) * yv[0], (u1 * tau) * yv[1], (u1 * tau) * yv[2],
+                 u2 * zv[0], u2 * zv[1], u2 * zv[2], u],
+                axis=0,
+            )  # [10*CHUNK, P]
         else:
-            stacked = jnp.concatenate([u1, u2, u], axis=0)  # [3*CHUNK, P]
-        mom = _dot3(basis[0:7], stacked, (((1,), (1,)), ((), ())))  # [7, kC]
+            stacked = jnp.concatenate(
+                [u1 * yv[0], u1 * yv[1], u1 * yv[2],
+                 u2 * zv[0], u2 * zv[1], u2 * zv[2], u],
+                axis=0,
+            )  # [7*CHUNK, P]
+        mom = _dot3(basis[0:4], stacked, (((1,), (1,)), ((), ())))  # [4, kC]
 
         oslot = ci % OUT_SLOTS
 
@@ -595,26 +585,24 @@ def _backward_kernel(
             dma_out(oslot, ci - OUT_SLOTS).wait()
 
         if rs:
-            # dL/d nlog2op = ln2 * sum_p u (u's ones-row moment, 5th block)
-            dfeat_s[oslot, 0:6, :] = mom[0:6, 0:chunk]  # dG0'
-            dfeat_s[oslot, 6:12, :] = mom[0:6, chunk : 2 * chunk]  # dG1'
-            dfeat_s[oslot, 12:18, :] = mom[0:6, 2 * chunk : 3 * chunk]  # dG2'
-            dfeat_s[oslot, 18:24, :] = mom[0:6, 3 * chunk : 4 * chunk]  # dQ6
-            dfeat_s[oslot, 24, :] = _LN2 * mom[6, 4 * chunk : 5 * chunk]
-            dfeat_s[oslot, 25:30, :] = jnp.zeros((5, chunk), jnp.float32)
+            for k in range(3):  # dC0' rows 0-8, dC1' rows 9-17, dM 18-26
+                for j in range(3):
+                    dfeat_s[oslot, 3 * k + j, :] = mom[j, k * chunk:(k + 1) * chunk]
+                    dfeat_s[oslot, 9 + 3 * k + j, :] = mom[j, (3 + k) * chunk:(4 + k) * chunk]
+                    dfeat_s[oslot, 18 + 3 * k + j, :] = mom[j, (6 + k) * chunk:(7 + k) * chunk]
+            dfeat_s[oslot, 27, :] = _LN2 * mom[3, 9 * chunk : 10 * chunk]
+            dfeat_s[oslot, 28:30, :] = jnp.zeros((2, chunk), jnp.float32)
             dfeat_s[oslot, 30, :] = pack_bf16_pair(dcolor[0], dcolor[1])
             dfeat_s[oslot, 31, :] = pack_bf16_pair(dcolor[2], dcolor[3])
         else:
-            s0 = mom[6, 2 * chunk : 3 * chunk]  # sum_p u per instance
-            # row 12 streams nlog2(op), so emit dL/d nlog2op = ln2 * sum_p u
-            # and let the OUTER autodiff chain through -log2(op) (emitting
-            # dL/dop here would double-apply the chain rule)
-            dfeat_s[oslot, 0:6, :] = mom[0:6, 0:chunk]
-            dfeat_s[oslot, 6:12, :] = mom[0:6, chunk : 2 * chunk]
-            dfeat_s[oslot, 12, :] = _LN2 * s0
-            dfeat_s[oslot, 13, :] = jnp.zeros((chunk,), jnp.float32)
-            dfeat_s[oslot, 14, :] = pack_bf16_pair(dcolor[0], dcolor[1])
-            dfeat_s[oslot, 15, :] = pack_bf16_pair(dcolor[2], dcolor[3])
+            for k in range(3):  # dC' rows 0-8, dM rows 9-17
+                for j in range(3):
+                    dfeat_s[oslot, 3 * k + j, :] = mom[j, k * chunk:(k + 1) * chunk]
+                    dfeat_s[oslot, 9 + 3 * k + j, :] = mom[j, (3 + k) * chunk:(4 + k) * chunk]
+            dfeat_s[oslot, 18, :] = _LN2 * mom[3, 6 * chunk : 7 * chunk]
+            dfeat_s[oslot, 19:22, :] = jnp.zeros((3, chunk), jnp.float32)
+            dfeat_s[oslot, 22, :] = pack_bf16_pair(dcolor[0], dcolor[1])
+            dfeat_s[oslot, 23, :] = pack_bf16_pair(dcolor[2], dcolor[3])
 
         # boundary head merge (sequential grid programs — see the 2D kernel)
         @pl.when(ci == 0)

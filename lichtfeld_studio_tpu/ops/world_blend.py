@@ -213,8 +213,14 @@ def _alphas_world(f, ray_o, ray_d):
     m = inv_s[..., :, None] * jnp.swapaxes(rot, -1, -2)  # [T,K,3,3]
 
     o_rel = ray_o[:, None, :, :] - mean[:, :, None, :]  # [T,K,P,3]
-    gro = jnp.einsum("tkij,tkpj->tkpi", m, o_rel)
-    grd = jnp.einsum("tkij,tpj->tkpi", m, ray_d)
+    # precision=HIGHEST: TPU's DEFAULT einsum runs bf16 passes (PERFNOTES
+    # numerics rules) — these tiny matvecs feed exp(), where bf16 operand
+    # rounding showed up as ~0.09 max alpha error vs the f32 streaming
+    # kernel on the compiled parity gate
+    gro = jnp.einsum("tkij,tkpj->tkpi", m, o_rel,
+                     precision=jax.lax.Precision.HIGHEST)
+    grd = jnp.einsum("tkij,tpj->tkpi", m, ray_d,
+                     precision=jax.lax.Precision.HIGHEST)
     n2 = jnp.sum(grd * grd, axis=-1)
     inv_n2 = 1.0 / jnp.maximum(n2, 1e-18)
     cr = jnp.cross(grd, gro)
