@@ -153,10 +153,14 @@ def main():
             camera_model=CameraModelType.OPENCV_FISHEYE,
             radial=jnp.asarray([0.08, -0.01, 0.0, 0.0], jnp.float32),
         )
+        # k_max=2048 for the DENSE side: the streaming kernel never
+        # truncates, and early-training fog models genuinely stack > 1024
+        # instances per tile — at k_max=1024 the ORACLE is the wrong one
+        # (measured: 0.9927 frac at 1024 -> 1.0000 at 2048 on the 2k model)
         aw = rasterize_jit(splats, cam_fe, jnp.zeros(3), mode="pallas",
                            instance_cap=2**21, gut_exact=True)
         bw = rasterize_jit(splats, cam_fe, jnp.zeros(3), mode="tiles",
-                           instance_cap=2**21, k_max=1024, gut_exact=True)
+                           instance_cap=2**21, k_max=2048, gut_exact=True)
         errw = np.abs(np.asarray(aw.image) - np.asarray(bw.image))
         medw, fracw = float(np.median(errw)), float((errw < 0.05).mean())
         print(f"world-blend parity: median|stream-dense| = {medw:.5f}, "
