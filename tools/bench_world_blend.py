@@ -41,7 +41,7 @@ def main():
     N0 = 600_000
     # conservative UT bounds (no exact tile test on the world path) bin more
     # instances than the 2D pipeline at the same scene
-    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 2_500_000))
+    ICAP = int(os.environ.get("LFS_BENCH_ICAP", 1_500_000))
     rng = np.random.default_rng(0)
     pos = rng.uniform(-3, 3, (N0, 3)).astype(np.float32)
     col = rng.uniform(0, 1, (N0, 3)).astype(np.float32)
